@@ -1,0 +1,122 @@
+"""Statistical and radius outlier removal — the Open3D replacement.
+
+The reference's only spatial-search stage is Open3D's C++ KD-tree outlier
+removal on the road cloud (semantic_depth.py:227-245):
+
+    statistical_outlier_removal(nb_neighbors=10, std_ratio=0.5)
+    radius_outlier_removal(nb_points=80, radius=0.5)
+
+KD-trees are a pointer-chasing CPU structure; on TPU the fast path is the MXU.
+For a compacted cloud of capacity C we compute pairwise squared distances in
+column blocks using the Gram-matrix identity
+
+    d2[i, j] = |x_i|^2 + |x_j|^2 - 2 <x_i, x_j>
+
+where the inner-product term is a (C,3)x(3,B) matmul — systolic-array work —
+and reduce each block on the fly (running k-smallest merge for the
+statistical pass, running radius counts for the radius pass). Nothing
+materializes the full C x C matrix.
+
+Semantics follow Open3D's legacy implementation:
+* statistical: mean distance to the nb_neighbors nearest neighbors (the query
+  point itself is a member of the cloud and contributes a zero distance, as
+  in KDTreeFlann.SearchKNN on the same cloud); a point survives if its mean
+  distance < global_mean + std_ratio * global_sample_std.
+* radius: a point survives if the number of cloud points within ``radius``
+  (including itself) exceeds ``nb_points``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pcl import MaskedCloud
+
+
+def _block_d2(xyz: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances between all rows of xyz (C,3) and block (B,3) via the
+    MXU. Clamped at 0 to kill negative round-off."""
+    sq_r = jnp.sum(xyz * xyz, axis=1, keepdims=True)  # (C, 1)
+    sq_b = jnp.sum(block * block, axis=1)[None, :]  # (1, B)
+    # HIGHEST precision: the Gram identity cancels catastrophically if the
+    # cross term runs at the default (bf16-grade) matmul precision.
+    cross = jnp.dot(
+        xyz,
+        block.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (C, B)
+    return jnp.maximum(sq_r + sq_b - 2.0 * cross, 0.0)
+
+
+def _column_blocks(cloud: MaskedCloud, block_size: int):
+    c = cloud.capacity
+    if c % block_size != 0:
+        raise ValueError(f"capacity {c} must be a multiple of block_size {block_size}")
+    nb = c // block_size
+    cols = cloud.xyz.reshape(nb, block_size, 3)
+    colmask = cloud.valid.reshape(nb, block_size)
+    return cols, colmask
+
+
+@partial(jax.jit, static_argnames=("k", "block_size"))
+def knn_mean_distances(cloud: MaskedCloud, k: int, block_size: int = 2048) -> jnp.ndarray:
+    """Mean distance from each valid point to its k nearest valid neighbors
+    (self included, distance 0). Invalid rows return +inf. O(C^2) in blocked
+    MXU matmuls + per-block top-k merges."""
+    cols, colmask = _column_blocks(cloud, block_size)
+    init = jnp.full((cloud.capacity, k), jnp.inf, jnp.float32)
+
+    def step(best, blk):
+        block, bmask = blk
+        d2 = _block_d2(cloud.xyz, block)
+        d2 = jnp.where(bmask[None, :], d2, jnp.inf)
+        blk_best = -jax.lax.top_k(-d2, k)[0]  # k smallest per row
+        merged = jnp.sort(jnp.concatenate([best, blk_best], axis=1), axis=1)[:, :k]
+        return merged, None
+
+    best, _ = jax.lax.scan(step, init, (cols, colmask))
+    mean_d = jnp.mean(jnp.sqrt(best), axis=1)
+    return jnp.where(cloud.valid, mean_d, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def radius_counts(cloud: MaskedCloud, radius: float, block_size: int = 2048) -> jnp.ndarray:
+    """Number of valid cloud points within ``radius`` of each point (self
+    included). Invalid rows return 0."""
+    cols, colmask = _column_blocks(cloud, block_size)
+    r2 = jnp.float32(radius) ** 2
+
+    def step(counts, blk):
+        block, bmask = blk
+        d2 = _block_d2(cloud.xyz, block)
+        within = (d2 <= r2) & bmask[None, :]
+        return counts + jnp.sum(within.astype(jnp.int32), axis=1), None
+
+    counts, _ = jax.lax.scan(step, jnp.zeros((cloud.capacity,), jnp.int32), (cols, colmask))
+    return jnp.where(cloud.valid, counts, 0)
+
+
+def statistical_outlier_filter(
+    cloud: MaskedCloud, nb_neighbors: int, std_ratio: float, block_size: int = 2048
+) -> MaskedCloud:
+    """Open3D statistical_outlier_removal semantics (semantic_depth.py:234)."""
+    mean_d = knn_mean_distances(cloud, nb_neighbors, block_size)
+    w = cloud.valid.astype(jnp.float32)
+    n = jnp.sum(w)
+    vals = jnp.where(cloud.valid, mean_d, 0.0)
+    mu = jnp.sum(vals) / n
+    var = jnp.sum(jnp.where(cloud.valid, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
+    threshold = mu + std_ratio * jnp.sqrt(var)
+    return cloud.with_mask(cloud.valid & (mean_d < threshold))
+
+
+def radius_outlier_filter(
+    cloud: MaskedCloud, nb_points: int, radius: float, block_size: int = 2048
+) -> MaskedCloud:
+    """Open3D radius_outlier_removal semantics (semantic_depth.py:238)."""
+    counts = radius_counts(cloud, radius, block_size)
+    return cloud.with_mask(cloud.valid & (counts > nb_points))

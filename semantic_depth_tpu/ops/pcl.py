@@ -1,0 +1,266 @@
+"""Masked fixed-capacity point-cloud geometry kernels.
+
+This is the TPU-native redesign of the reference's NumPy/SciPy geometry
+library (semantic_depth_lib/pcl.py). The reference compacts point clouds with
+ragged boolean gathers after every filter — dynamic shapes that XLA cannot
+compile. Here a cloud is a *fixed-capacity masked array*: every filter only
+flips bits in the validity mask, so the whole denoise chain stays inside one
+jitted program with static shapes, and reductions (median, mean, min/max,
+normal-equation sums) are masked reductions.
+
+Reference-semantics notes (quirks reproduced deliberately, see SURVEY.md §3.5):
+
+* ``keep_beyond`` reproduces pcl.remove_from_to (pcl.py:30-43), whose
+  ``from_meter`` argument is ignored upstream: actual semantics is
+  "keep coord < -to_meter".
+* The MAD penalty uses the exact 0.6745 scaling (pcl.py:63). When MAD == 0 the
+  penalty is inf (or nan for points equal to the median); nan compares False
+  against the threshold, matching ``np.where(penalty < thr)``.
+* Plane fits solve the same unweighted least squares as
+  ``scipy.linalg.lstsq`` (pcl.py:118-120 etc.) — implemented as a centered
+  2x2 normal-equation solve for f32 stability on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_MAD_SCALE = 0.6745  # pcl.py:63
+
+
+@struct.dataclass
+class MaskedCloud:
+    """A fixed-capacity point cloud: ``xyz``/``rgb`` rows beyond ``valid`` are
+    inert garbage. ``rgb`` may carry any per-point payload (colors here)."""
+
+    xyz: jnp.ndarray  # (N, 3) float32
+    rgb: jnp.ndarray  # (N, 3) float32
+    valid: jnp.ndarray  # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    def with_mask(self, new_valid: jnp.ndarray) -> "MaskedCloud":
+        return self.replace(valid=new_valid)
+
+
+def from_dense(points: jnp.ndarray, colors: jnp.ndarray, mask: jnp.ndarray) -> MaskedCloud:
+    """Build a MaskedCloud from dense (H, W, 3) points + (H, W) mask without
+    any gather — the masked representation of ``points3D[road_mask]``
+    (semantic_depth.py:183-187)."""
+    n = points.shape[0] * points.shape[1]
+    return MaskedCloud(
+        xyz=points.reshape(n, 3).astype(jnp.float32),
+        rgb=colors.reshape(n, 3).astype(jnp.float32),
+        valid=mask.reshape(n).astype(bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Masked reductions
+# ---------------------------------------------------------------------------
+
+
+def masked_sum(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.where(valid, values, 0.0))
+
+
+def masked_mean(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.sum(valid.astype(jnp.float32))
+    return masked_sum(values, valid) / n
+
+
+def masked_min(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(jnp.where(valid, values, jnp.inf))
+
+
+def masked_max(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.where(valid, values, -jnp.inf))
+
+
+def masked_median(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """NumPy-median semantics over the valid subset: sort invalids to +inf,
+    average the two middle elements for even counts. Returns nan when empty."""
+    n = jnp.sum(valid.astype(jnp.int32))
+    sorted_vals = jnp.sort(jnp.where(valid, values, jnp.inf))
+    lo = jnp.clip((n - 1) // 2, 0, values.shape[0] - 1)
+    hi = jnp.clip(n // 2, 0, values.shape[0] - 1)
+    med = 0.5 * (sorted_vals[lo] + sorted_vals[hi])
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Filters (mask-only updates; mirror pcl.py ops)
+# ---------------------------------------------------------------------------
+
+
+def keep_beyond(cloud: MaskedCloud, axis: int, to_meter: float) -> MaskedCloud:
+    """pcl.remove_from_to (pcl.py:30-43): keep points with coord < -to_meter.
+    The upstream ``from_meter`` parameter is dead and intentionally absent."""
+    keep = cloud.xyz[:, axis] < -to_meter
+    return cloud.with_mask(cloud.valid & keep)
+
+
+def threshold_abs(cloud: MaskedCloud, axis: int, threshold: float) -> MaskedCloud:
+    """pcl.threshold_complete (pcl.py:240-250): keep |coord| < threshold."""
+    keep = jnp.abs(cloud.xyz[:, axis]) < threshold
+    return cloud.with_mask(cloud.valid & keep)
+
+
+def mad_filter(cloud: MaskedCloud, axis: int, threshold: float) -> MaskedCloud:
+    """pcl.remove_noise_by_mad (pcl.py:46-81): median-absolute-deviation cut.
+
+    penalty = 0.6745 * |x - median| / MAD; keep penalty < threshold.
+    """
+    x = cloud.xyz[:, axis]
+    med = masked_median(x, cloud.valid)
+    abs_diffs = jnp.abs(x - med)
+    mad = masked_median(abs_diffs, cloud.valid)
+    penalty = _MAD_SCALE * abs_diffs / mad
+    keep = penalty < threshold  # nan/inf -> False, matching np.where semantics
+    return cloud.with_mask(cloud.valid & keep)
+
+
+def split_by_mean(cloud: MaskedCloud, axis: int = 0) -> Tuple[MaskedCloud, MaskedCloud]:
+    """pcl.extract_pcls (pcl.py:253-268): split at the mean coordinate.
+    Points exactly equal to the mean fall in neither half, as upstream
+    (strict < and >)."""
+    x = cloud.xyz[:, axis]
+    mean = masked_mean(x, cloud.valid)
+    left = cloud.with_mask(cloud.valid & (x < mean))
+    right = cloud.with_mask(cloud.valid & (x > mean))
+    return left, right
+
+
+# ---------------------------------------------------------------------------
+# Plane fitting (pcl.remove_noise_by_fitting_plane, pcl.py:84-209)
+# ---------------------------------------------------------------------------
+
+# For a plane perpendicular to ``axis`` the reference regresses coordinate
+# ``axis`` (call it b) on the remaining two coordinates (u, v) in index order:
+#   axis=0: b=x, (u,v)=(y,z);  axis=1: b=y, (u,v)=(x,z);  axis=2: b=z, (u,v)=(x,y)
+_PLANE_UV = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+def fit_plane(cloud: MaskedCloud, axis: int) -> jnp.ndarray:
+    """Least-squares plane fit; returns coefficients (Cx, Cy, Cz, C) with the
+    convention Cx*x + Cy*y + Cz*z + C = 0 and coefficient of ``axis`` = -1,
+    matching the dicts the reference builds (pcl.py:135,168,201).
+
+    Solved via centered 2x2 normal equations: centering keeps the Gram matrix
+    entries small so f32 on TPU matches scipy.linalg.lstsq in f64 to ~1e-5.
+    """
+    ui, vi = _PLANE_UV[axis]
+    u = cloud.xyz[:, ui]
+    v = cloud.xyz[:, vi]
+    b = cloud.xyz[:, axis]
+    w = cloud.valid.astype(jnp.float32)
+    n = jnp.sum(w)
+    um = masked_sum(u, cloud.valid) / n
+    vm = masked_sum(v, cloud.valid) / n
+    bm = masked_sum(b, cloud.valid) / n
+    uc = jnp.where(cloud.valid, u - um, 0.0)
+    vc = jnp.where(cloud.valid, v - vm, 0.0)
+    bc = jnp.where(cloud.valid, b - bm, 0.0)
+    suu = jnp.sum(uc * uc)
+    svv = jnp.sum(vc * vc)
+    suv = jnp.sum(uc * vc)
+    sub = jnp.sum(uc * bc)
+    svb = jnp.sum(vc * bc)
+    det = suu * svv - suv * suv
+    c0 = (svb * (-suv) + sub * svv) / det
+    c1 = (svb * suu + sub * (-suv)) / det
+    c2 = bm - c0 * um - c1 * vm
+    coeffs = jnp.zeros((4,), jnp.float32)
+    coeffs = coeffs.at[ui].set(c0)
+    coeffs = coeffs.at[vi].set(c1)
+    coeffs = coeffs.at[axis].set(-1.0)
+    coeffs = coeffs.at[3].set(c2)
+    return coeffs
+
+
+def plane_inlier_filter(
+    cloud: MaskedCloud, axis: int, threshold: float
+) -> Tuple[MaskedCloud, jnp.ndarray]:
+    """Fit a plane, then keep points whose signed residual magnitude is below
+    ``threshold`` (pcl.py:130-131 etc.). Returns (filtered cloud, coeffs)."""
+    coeffs = fit_plane(cloud, axis)
+    resid = cloud.xyz @ coeffs[:3] + coeffs[3]
+    keep = jnp.abs(resid) < threshold
+    return cloud.with_mask(cloud.valid & keep), coeffs
+
+
+def planes_intersection_at_depth(
+    coeffs_a: jnp.ndarray, coeffs_b: jnp.ndarray, depth: float
+) -> jnp.ndarray:
+    """pcl.planes_intersection_at_certain_depth (pcl.py:212-237): intersect two
+    planes at z = -depth by solving the 2x2 system in (x, y). Returns (3,)
+    point (x, y, z)."""
+    z = -depth
+    a11, a12 = coeffs_a[0], coeffs_a[1]
+    a21, a22 = coeffs_b[0], coeffs_b[1]
+    b1 = -(coeffs_a[2] * z + coeffs_a[3])
+    b2 = -(coeffs_b[2] * z + coeffs_b[3])
+    det = a11 * a22 - a12 * a21
+    x = (b1 * a22 - b2 * a12) / det
+    y = (a11 * b2 - a21 * b1) / det
+    return jnp.stack([x, y, jnp.asarray(z, jnp.float32)])
+
+
+# ---------------------------------------------------------------------------
+# Road-width endpoints (pcl.get_end_points_of_road, pcl.py:271-313)
+# ---------------------------------------------------------------------------
+
+
+def road_endpoints(
+    cloud: MaskedCloud, depth, halfwidth: float = 0.05
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Select the z-slab (-(depth+hw), -(depth-hw)) and return the 3D points
+    with min/max x inside it, plus a ``found`` flag (the sequence script's
+    ``line_found`` guard, seq:232-243).
+
+    Returns (left_pt (3,), right_pt (3,), found bool). When not found the
+    points are nan.
+    """
+    z = cloud.xyz[:, 2]
+    slab = cloud.valid & (z < -(depth - halfwidth)) & (z > -(depth + halfwidth))
+    found = jnp.any(slab)
+    x = cloud.xyz[:, 0]
+    left_idx = jnp.argmin(jnp.where(slab, x, jnp.inf))
+    right_idx = jnp.argmax(jnp.where(slab, x, -jnp.inf))
+    nan3 = jnp.full((3,), jnp.nan, jnp.float32)
+    left_pt = jnp.where(found, cloud.xyz[left_idx], nan3)
+    right_pt = jnp.where(found, cloud.xyz[right_idx], nan3)
+    return left_pt, right_pt, found
+
+
+def distance_3d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """pcl.compute_distance_in_3D (pcl.py:316-318)."""
+    return jnp.linalg.norm(a - b)
+
+
+# ---------------------------------------------------------------------------
+# Compaction: shrink capacity before O(N^2) neighbor kernels
+# ---------------------------------------------------------------------------
+
+
+def compact(cloud: MaskedCloud, capacity: int) -> MaskedCloud:
+    """Pack valid points into the first ``capacity`` slots via a cumsum
+    scatter (O(N), no sort). Overflowing points are dropped — callers size
+    ``capacity`` so this only truncates pathological frames."""
+    idx = jnp.cumsum(cloud.valid.astype(jnp.int32)) - 1
+    keep = cloud.valid & (idx < capacity)
+    dst = jnp.where(keep, idx, capacity)  # out-of-range rows dropped by scatter
+    xyz = jnp.zeros((capacity, 3), cloud.xyz.dtype).at[dst].set(cloud.xyz, mode="drop")
+    rgb = jnp.zeros((capacity, 3), cloud.rgb.dtype).at[dst].set(cloud.rgb, mode="drop")
+    n = jnp.minimum(cloud.count(), capacity)
+    valid = jnp.arange(capacity) < n
+    return MaskedCloud(xyz=xyz, rgb=rgb, valid=valid)

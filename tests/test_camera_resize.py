@@ -1,0 +1,60 @@
+"""Back-projection vs cv2.reprojectImageTo3D semantics; MXU resize vs cv2."""
+
+import numpy as np
+import pytest
+
+from semantic_depth_tpu import camera
+from semantic_depth_tpu.config import CAMERA_MUNICH, CameraConfig
+from semantic_depth_tpu.ops import resize
+
+import oracles as o
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_reproject_matches_oracle():
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(1.0, 80.0, size=(32, 64)).astype(np.float32)
+    got = np.asarray(camera.reproject_disparity(disp, CAMERA_MUNICH))
+    want = o.o_reproject(
+        disp, CAMERA_MUNICH.cx, CAMERA_MUNICH.cy, CAMERA_MUNICH.baseline, CAMERA_MUNICH.focal
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_reproject_matches_cv2():
+    cam = CameraConfig(cx=314.055, cy=124.097, baseline=1.0, focal=380.0)
+    rng = np.random.default_rng(1)
+    disp = rng.uniform(1.0, 80.0, size=(64, 128)).astype(np.float32)
+    Q = np.float32(
+        [
+            [1, 0, 0, -cam.cx],
+            [0, -1, 0, cam.cy],
+            [0, 0, 0, -cam.focal],
+            [0, 0, 1 / cam.baseline, 0],
+        ]
+    )
+    want = cv2.reprojectImageTo3D(disp, Q)
+    got = np.asarray(camera.reproject_disparity(disp, cam))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape_pair", [((96, 192), (48, 96)), ((50, 70), (256, 512))])
+def test_cubic_resize_close_to_cv2(shape_pair):
+    (sh, sw), (dh, dw) = shape_pair
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(sh, sw, 3)).astype(np.uint8)
+    want = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_CUBIC).astype(np.float32)
+    got = np.asarray(resize.resize_clip_u8(img.astype(np.float32), (dh, dw)))
+    # OpenCV runs 11-bit fixed point; allow ~1 intensity level of rounding
+    # jitter (x.5 boundaries land on different sides).
+    assert np.mean(np.abs(got - want)) < 0.5
+    assert np.max(np.abs(got - want)) <= 2.0
+
+
+def test_linear_resize_close_to_cv2():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(40, 60)).astype(np.uint8)
+    want = cv2.resize(img, (120, 80), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    got = np.asarray(resize.resize_clip_u8(img.astype(np.float32), (80, 120), method="linear"))
+    assert np.mean(np.abs(got - want)) < 0.2

@@ -1,0 +1,58 @@
+"""Outlier-removal kernels vs brute-force oracles (Open3D-replacement)."""
+
+import numpy as np
+
+from semantic_depth_tpu.ops import neighbors, pcl
+
+import oracles as o
+
+
+def make_cloud(n=300, capacity=512, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    # add a tight cluster so radius counts vary meaningfully
+    pts[: n // 2] *= 0.1
+    xyz = np.zeros((capacity, 3), np.float32)
+    xyz[:n] = pts
+    xyz[n:] = 50.0  # garbage that must not count as neighbors
+    valid = np.arange(capacity) < n
+    cloud = pcl.MaskedCloud(xyz=xyz, rgb=np.zeros_like(xyz), valid=valid)
+    return cloud, pts
+
+
+def test_knn_mean_distances_matches_bruteforce():
+    cloud, pts = make_cloud()
+    got = np.asarray(neighbors.knn_mean_distances(cloud, 10, block_size=128))
+    want = o.o_knn_mean_distances(pts.astype(np.float64), 10)
+    np.testing.assert_allclose(got[:300], want, rtol=1e-3, atol=1e-4)
+    assert np.all(np.isinf(got[300:]))
+
+
+def test_statistical_filter_matches_oracle():
+    cloud, pts = make_cloud(seed=1)
+    out = neighbors.statistical_outlier_filter(cloud, 10, 0.5, block_size=128)
+    ref_p, _ = o.o_statistical_filter(pts.astype(np.float64), np.zeros_like(pts), 10, 0.5)
+    got_p = np.asarray(out.xyz)[np.asarray(out.valid)]
+    assert got_p.shape == ref_p.shape
+    a = got_p[np.lexsort(got_p.T)]
+    b = ref_p[np.lexsort(ref_p.T)].astype(np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_radius_filter_matches_oracle():
+    cloud, pts = make_cloud(seed=2)
+    out = neighbors.radius_outlier_filter(cloud, 12, 0.5, block_size=128)
+    ref_p, _ = o.o_radius_filter(pts.astype(np.float64), np.zeros_like(pts), 12, 0.5)
+    got_p = np.asarray(out.xyz)[np.asarray(out.valid)]
+    assert got_p.shape == ref_p.shape
+    a = got_p[np.lexsort(got_p.T)]
+    b = ref_p[np.lexsort(ref_p.T)].astype(np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_radius_counts_exclude_invalid_columns():
+    cloud, pts = make_cloud(seed=3)
+    counts = np.asarray(neighbors.radius_counts(cloud, 100.0, block_size=128))
+    # with a huge radius every valid point sees exactly n valid points
+    assert np.all(counts[:300] == 300)
+    assert np.all(counts[300:] == 0)

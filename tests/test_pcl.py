@@ -1,0 +1,173 @@
+"""Masked point-cloud kernels vs NumPy oracles of the reference semantics."""
+
+import numpy as np
+import pytest
+
+from semantic_depth_tpu.ops import pcl
+
+import oracles as o
+
+
+def make_cloud(n=500, seed=0, capacity=None):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * [3.0, 1.0, 10.0] - [0, 1.0, 12.0]
+    cols = rng.uniform(0, 255, size=(n, 3)).astype(np.float32)
+    capacity = capacity or n + 37  # leave some invalid slots
+    xyz = np.zeros((capacity, 3), np.float32)
+    rgb = np.zeros((capacity, 3), np.float32)
+    valid = np.zeros((capacity,), bool)
+    # scatter valid points into non-contiguous slots to stress the masking
+    idx = rng.permutation(capacity)[:n]
+    xyz[idx] = pts
+    rgb[idx] = cols
+    valid[idx] = True
+    # garbage in invalid slots must never matter
+    xyz[~valid] = rng.normal(size=(capacity - n, 3)) * 100
+    cloud = pcl.MaskedCloud(xyz=xyz, rgb=rgb, valid=valid)
+    return cloud, pts, cols, idx
+
+
+def extract(cloud, order_idx=None):
+    """Valid points of a masked cloud as a dense array (slot order)."""
+    v = np.asarray(cloud.valid)
+    return np.asarray(cloud.xyz)[v], np.asarray(cloud.rgb)[v]
+
+
+def assert_same_set(a, b):
+    """Compare two point sets ignoring row order."""
+    assert a.shape == b.shape, (a.shape, b.shape)
+    a_sorted = a[np.lexsort(a.T)]
+    b_sorted = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a_sorted, b_sorted, rtol=1e-5, atol=1e-5)
+
+
+def test_masked_median_matches_numpy():
+    rng = np.random.default_rng(1)
+    for n in [1, 2, 5, 100, 101]:
+        vals = rng.normal(size=(n + 13,)).astype(np.float32)
+        valid = np.zeros((n + 13,), bool)
+        valid[rng.permutation(n + 13)[:n]] = True
+        got = float(pcl.masked_median(vals, valid))
+        want = float(np.median(vals[valid]))
+        assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_keep_beyond_matches_remove_from_to():
+    cloud, pts, cols, _ = make_cloud()
+    out = pcl.keep_beyond(cloud, 2, 7.0)
+    ref_p, ref_c = o.o_keep_beyond(pts, cols, 2, 7.0)
+    got_p, got_c = extract(out)
+    assert_same_set(got_p, ref_p)
+
+
+def test_mad_filter_matches_oracle():
+    cloud, pts, cols, _ = make_cloud(seed=2)
+    for axis, thr in [(0, 2.0), (1, 15.0), (1, 5.0), (2, 1.0)]:
+        out = pcl.mad_filter(cloud, axis, thr)
+        ref_p, _ = o.o_mad_filter(pts, cols, axis, thr)
+        got_p, _ = extract(out)
+        assert_same_set(got_p, ref_p)
+
+
+def test_mad_filter_zero_mad_removes_all_but_median_matches_numpy():
+    # Degenerate cloud: >50% identical values -> MAD == 0 -> penalty inf/nan.
+    pts = np.zeros((10, 3), np.float32)
+    pts[:, 1] = [1, 1, 1, 1, 1, 1, 2, 3, 4, 5]
+    cols = np.zeros_like(pts)
+    cloud = pcl.MaskedCloud(xyz=pts, rgb=cols, valid=np.ones(10, bool))
+    out = pcl.mad_filter(cloud, 1, 15.0)
+    ref_p, _ = o.o_mad_filter(pts, cols, 1, 15.0)
+    got_p, _ = extract(out)
+    assert_same_set(got_p, ref_p)
+
+
+def test_threshold_abs_matches_oracle():
+    cloud, pts, cols, _ = make_cloud(seed=3)
+    out = pcl.threshold_abs(cloud, 2, 15.0)
+    ref_p, _ = o.o_threshold_abs(pts, cols, 2, 15.0)
+    got_p, _ = extract(out)
+    assert_same_set(got_p, ref_p)
+
+
+def test_fit_plane_matches_lstsq():
+    rng = np.random.default_rng(4)
+    # points near plane y = 0.05 x - 0.02 z + 1.5 with noise
+    n = 400
+    x = rng.uniform(-10, 10, n)
+    z = rng.uniform(-30, -5, n)
+    y = 0.05 * x - 0.02 * z + 1.5 + rng.normal(0, 0.05, n)
+    pts = np.stack([x, y, z], axis=1).astype(np.float32)
+    cols = np.zeros_like(pts)
+    capacity = n + 21
+    xyz = np.zeros((capacity, 3), np.float32)
+    xyz[:n] = pts
+    xyz[n:] = 1e3  # garbage
+    valid = np.arange(capacity) < n
+    cloud = pcl.MaskedCloud(xyz=xyz, rgb=np.zeros_like(xyz), valid=valid)
+    for axis in [0, 1, 2]:
+        got = np.asarray(pcl.fit_plane(cloud, axis))
+        want = o.o_fit_plane(pts.astype(np.float64), axis)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_plane_inlier_filter_matches_oracle():
+    cloud, pts, cols, _ = make_cloud(seed=5, n=600)
+    out, coeffs = pcl.plane_inlier_filter(cloud, 1, 5.0)
+    ref_p, _, ref_coeffs = o.o_plane_inlier_filter(pts.astype(np.float64), cols, 1, 5.0)
+    got_p, _ = extract(out)
+    np.testing.assert_allclose(np.asarray(coeffs), ref_coeffs, rtol=1e-3, atol=1e-3)
+    assert_same_set(got_p, ref_p.astype(np.float32))
+
+
+def test_planes_intersection_matches_oracle():
+    ca = np.array([0.02, -1.0, 0.01, 1.4])
+    cb = np.array([-1.0, 0.3, 0.05, -6.0])
+    got = np.asarray(pcl.planes_intersection_at_depth(ca.astype(np.float32), cb.astype(np.float32), 10.0))
+    want = o.o_planes_intersection(ca, cb, 10.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_split_by_mean_matches_oracle():
+    cloud, pts, cols, _ = make_cloud(seed=6)
+    l, r = pcl.split_by_mean(cloud, 0)
+    rl, _, rr, _ = o.o_split_by_mean(pts, cols, 0)
+    got_l, _ = extract(l)
+    got_r, _ = extract(r)
+    assert_same_set(got_l, rl)
+    assert_same_set(got_r, rr)
+
+
+def test_road_endpoints_matches_oracle():
+    cloud, pts, cols, _ = make_cloud(seed=7, n=2000)
+    depth = 9.98
+    left, right, found = (np.asarray(a) for a in pcl.road_endpoints(cloud, depth))
+    ref_l, ref_r = o.o_road_endpoints(pts, depth)
+    assert bool(found) == (ref_l is not None)
+    if ref_l is not None:
+        np.testing.assert_allclose(left, ref_l, rtol=1e-6)
+        np.testing.assert_allclose(right, ref_r, rtol=1e-6)
+
+
+def test_road_endpoints_empty_slab():
+    pts = np.array([[0, 0, -1.0], [1, 0, -2.0]], np.float32)
+    cloud = pcl.MaskedCloud(xyz=pts, rgb=np.zeros_like(pts), valid=np.ones(2, bool))
+    left, right, found = pcl.road_endpoints(cloud, 10.0)
+    assert not bool(found)
+    assert np.all(np.isnan(np.asarray(left)))
+
+
+def test_compact_packs_points():
+    cloud, pts, cols, _ = make_cloud(seed=8, n=100, capacity=256)
+    out = pcl.compact(cloud, 128)
+    got_p, got_c = extract(out)
+    assert got_p.shape == (100, 3)
+    assert_same_set(got_p, pts)
+    # valid mask is a prefix
+    v = np.asarray(out.valid)
+    assert v[:100].all() and not v[100:].any()
+
+
+def test_compact_truncates_overflow():
+    cloud, pts, cols, _ = make_cloud(seed=9, n=100, capacity=256)
+    out = pcl.compact(cloud, 64)
+    assert int(out.count()) == 64
