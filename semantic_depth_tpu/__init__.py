@@ -29,3 +29,31 @@ e.g. `semantic_depth.py:206-245` for the road denoise chain.
 """
 
 __version__ = "0.1.0"
+
+from .config import (  # noqa: E402
+    CAMERA_CITYSCAPES,
+    CAMERA_CITYSCAPES_SEQUENCE,
+    CAMERA_MUNICH,
+    CameraConfig,
+    PipelineConfig,
+    TrainConfig,
+    cityscapes_pipeline_config,
+    munich_pipeline_config,
+    sequence_pipeline_config,
+)
+from .pipeline import FrameOutputs, SemanticDepthPipeline  # noqa: E402
+
+__all__ = [
+    "CAMERA_CITYSCAPES",
+    "CAMERA_CITYSCAPES_SEQUENCE",
+    "CAMERA_MUNICH",
+    "CameraConfig",
+    "FrameOutputs",
+    "PipelineConfig",
+    "SemanticDepthPipeline",
+    "TrainConfig",
+    "cityscapes_pipeline_config",
+    "munich_pipeline_config",
+    "sequence_pipeline_config",
+    "__version__",
+]

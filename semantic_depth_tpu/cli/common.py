@@ -1,0 +1,373 @@
+"""Shared CLI plumbing: image IO, annotation, weight loading, artifact suite.
+
+Host-side by design: everything here happens before/after the fused device
+program (reading frames, writing PNGs/PLYs/text files). cv2 is used when
+available (it is what the reference used, and keeps annotation/codec parity);
+PIL is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..io import artifacts as art
+from ..io.ply import PlyCloud
+from ..models import FCN8s, Monodepth
+from ..models import weights as weights_lib
+from ..ops.resize import resize_clip_u8
+from ..pipeline import FrameOutputs, SemanticDepthPipeline
+
+
+def imread_bgr(path: str) -> np.ndarray:
+    """Read an image as BGR uint8 — cv2.imread semantics
+    (semantic_depth.py:105)."""
+    if _HAS_CV2:
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    return rgb[:, :, ::-1].copy()
+
+
+def imwrite(path: str, img: np.ndarray) -> None:
+    """Write a BGR uint8 image — cv2.imwrite semantics."""
+    img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+    if _HAS_CV2:
+        cv2.imwrite(path, img)
+        return
+    from PIL import Image
+
+    Image.fromarray(img[:, :, ::-1]).save(path)
+
+
+def save_gray_png(path: str, img: np.ndarray) -> None:
+    img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+    if _HAS_CV2:
+        cv2.imwrite(path, img)
+    else:
+        from PIL import Image
+
+        Image.fromarray(img, mode="L").save(path)
+
+
+def save_disparity_png(disp: np.ndarray, output_name: str, oh: int, ow: int) -> None:
+    """Disparity visualization: upsample to original size, gray colormap
+    (semantic_depth.py:681-683 used scipy.misc.imresize + plt.imsave)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = np.asarray(resize_clip_u8(jnp.asarray(disp / max(disp.max(), 1e-9) * 255.0), (oh, ow), "linear"))
+    plt.imsave(f"{output_name}_disp.png", d.astype(np.uint8), cmap="gray")
+
+
+# ---------------------------------------------------------------------------
+# Annotation (cv2.putText / rectangle layout of semantic_depth.py:339-399)
+# ---------------------------------------------------------------------------
+
+
+def annotate_single(
+    img: np.ndarray,
+    depth: float,
+    is_city: bool,
+    approach: str,
+    dist_rw: float,
+    left_rw: np.ndarray,
+    right_rw: np.ndarray,
+    dist_f2f: Optional[float] = None,
+    left_f2f: Optional[np.ndarray] = None,
+    right_f2f: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Header band + distance texts, matching semantic_depth.py:350-395."""
+    if not _HAS_CV2:
+        return img
+    img = np.clip(np.asarray(img), 0, 255).astype(np.uint8).copy()
+    h, w = img.shape[:2]
+    if is_city:
+        thickness, font_scale = 2, 2
+    else:
+        thickness, font_scale = 5, 4
+    left, middle = 0.01, 0.33
+    right = 0.68 if is_city else 0.67
+    h_zero, h_first, h_second = 0.05 * h, 0.12 * h, 0.18 * h
+
+    cv2.rectangle(img, (0, 0), (w, int(0.2 * h)), (156, 157, 159), -1)
+    cv2.putText(
+        img, "At {:.2f}m depth:".format(depth), (int(middle * w), int(h_zero)),
+        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+    )
+    if approach == "both" and dist_f2f is not None and np.isfinite(dist_f2f):
+        cv2.putText(
+            img, "{:.2f}m to l fence".format(-left_f2f[0]), (int(left * w), int(h_first)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+        cv2.putText(
+            img, "{:.2f}m to r fence".format(right_f2f[0]), (int(right * w), int(h_first)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+        cv2.putText(
+            img, "Fence2Fence: {:.2f}m".format(dist_f2f), (int(middle * w), int(h_first)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+    cv2.putText(
+        img, "{:.2f}m to road's l".format(-left_rw[0]), (int(left * w), int(h_second)),
+        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+    )
+    cv2.putText(
+        img, "{:.2f}m to road's r".format(right_rw[0]), (int(right * w), int(h_second)),
+        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+    )
+    cv2.putText(
+        img, "Road's width: {:.2f}m".format(dist_rw), (int(middle * w), int(h_second)),
+        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+    )
+    return img
+
+
+def annotate_sequence(
+    img: np.ndarray,
+    depth: float,
+    line_found: bool,
+    dist_rw: float = float("nan"),
+    left_rw=None,
+    right_rw=None,
+) -> np.ndarray:
+    """Sequence-script annotation incl. the 'Cannot compute width' fallback
+    (seq:310-328)."""
+    if not _HAS_CV2:
+        return img
+    img = np.clip(np.asarray(img), 0, 255).astype(np.uint8).copy()
+    h, w = img.shape[:2]
+    thickness, font_scale = 2, 2
+    if line_found:
+        cv2.rectangle(img, (0, 0), (w, int(0.25 * h)), (156, 157, 159), -1)
+        cv2.putText(
+            img, "At {:.2f} m depth:".format(depth), (int(0.36 * w), int(0.05 * h)),
+            fontFace=16, fontScale=font_scale + 0.2, color=(255, 255, 255), thickness=thickness,
+        )
+        cv2.putText(
+            img, "{:.2f}m to road's left end".format(-left_rw[0]), (int(0.05 * w), int(0.13 * h)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+        cv2.putText(
+            img, "{:.2f}m to road's right end".format(right_rw[0]), (int(0.5 * w), int(0.13 * h)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+        cv2.putText(
+            img, "Road's width: {:.2f} m".format(dist_rw), (int(0.35 * w), int(0.22 * h)),
+            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        )
+    else:
+        cv2.putText(
+            img, "Cannot compute width of road at {:.2f} m depth:".format(depth),
+            (int(0.28 * w), int(0.035 * h)),
+            fontFace=16, fontScale=font_scale + 0.2, color=(0, 255, 0), thickness=thickness,
+        )
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+
+def load_fcn_params(model: FCN8s, path: str, input_hw: Tuple[int, int]):
+    """Load FCN-8s weights from a native .msgpack file, a directory containing
+    fcn8s.msgpack, or a TF1 checkpoint directory (converted on the fly).
+    ``path == 'random'`` initializes random weights (smoke tests)."""
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+    )
+    if path == "random":
+        return template
+    if os.path.isfile(path) and path.endswith(".msgpack"):
+        return weights_lib.load_params(template, path)
+    native = os.path.join(path, "fcn8s.msgpack")
+    if os.path.isfile(native):
+        return weights_lib.load_params(template, native)
+    # TF checkpoint layout: <path>/variables/saved_model.* (fcn.py:100-107)
+    import tensorflow as tf
+
+    ckpt_dir = os.path.join(path, "variables")
+    ckpt = tf.train.latest_checkpoint(ckpt_dir if os.path.isdir(ckpt_dir) else path)
+    if ckpt is None:
+        raise FileNotFoundError(f"no FCN weights found under {path}")
+    converted = weights_lib.convert_fcn_checkpoint(ckpt)
+    return weights_lib.as_jax_params(template, converted)
+
+
+def load_mono_params(model: Monodepth, path: str, input_hw: Tuple[int, int]):
+    """Monodepth weights: native .msgpack or TF1 checkpoint prefix
+    (models/get_monodepth_model.sh layout). 'random' for smoke tests."""
+    template = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((2, input_hw[0], input_hw[1], 3), jnp.float32)
+    )
+    if path == "random":
+        return template
+    if os.path.isfile(path) and path.endswith(".msgpack"):
+        return weights_lib.load_params(template, path)
+    native = os.path.join(os.path.dirname(path) or ".", "monodepth.msgpack")
+    if os.path.isfile(native):
+        return weights_lib.load_params(template, native)
+    converted = weights_lib.convert_monodepth_checkpoint(path, encoder=model.encoder)
+    return weights_lib.as_jax_params(template, converted)
+
+
+def build_pipeline(
+    cfg: PipelineConfig, semantic_model: str, monodepth_checkpoint: str, tiny: bool = False
+):
+    """tiny=True builds width-scaled networks (random weights only) — a CI /
+    smoke-test mode; production weights require the full architecture."""
+    if tiny:
+        fcn = FCN8s(num_classes=cfg.segmenter.num_classes, width_mult=0.0625, fc_channels=32)
+        mono = Monodepth(encoder=cfg.monodepth.encoder, width_mult=0.0625)
+    else:
+        fcn = FCN8s(num_classes=cfg.segmenter.num_classes)
+        mono = Monodepth(encoder=cfg.monodepth.encoder)
+    hw = (cfg.input_height, cfg.input_width)
+    fcn_params = load_fcn_params(fcn, semantic_model, hw)
+    mono_params = load_mono_params(mono, monodepth_checkpoint, hw)
+    return SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
+
+
+# ---------------------------------------------------------------------------
+# Artifact suite for the single-image entry (FrameProcessor save_data path,
+# semantic_depth.py:129-438)
+# ---------------------------------------------------------------------------
+
+
+def save_frame_artifacts(
+    out: FrameOutputs,
+    cfg: PipelineConfig,
+    output_name: str,
+    original_bgr: np.ndarray,
+    is_city: bool,
+) -> None:
+    oh, ow = original_bgr.shape[:2]
+    overlay_small = np.asarray(out.overlay_small)
+    overlay_full = np.asarray(resize_clip_u8(jnp.asarray(overlay_small), (oh, ow)))
+
+    # only-segmentation image (semantic_depth.py:341-345)
+    imwrite(f"{output_name}_only_segmentation.png", overlay_full)
+
+    # disparity visualization
+    save_disparity_png(np.asarray(out.disparity), output_name, oh, ow)
+
+    # gray masked sanity images (semantic_depth.py:172-177)
+    colors = np.asarray(out.colors)
+    gray = colors @ np.array([0.299, 0.587, 0.114])
+    road_mask = np.asarray(out.road_mask)
+    fence_mask = np.asarray(out.fence_mask)
+    save_gray_png(f"{output_name}_road_mask.png", gray * road_mask)
+    save_gray_png(f"{output_name}_fence_mask.png", gray * fence_mask)
+
+    points3d = np.asarray(out.points3d)
+    flat_pts = points3d.reshape(-1, 3)
+    flat_cols = colors.reshape(-1, 3)
+
+    # raw full cloud (semantic_depth.py:163-166)
+    PlyCloud(flat_pts, flat_cols, f"{output_name}_raw").save()
+
+    # npz of masked clouds (semantic_depth.py:194-197)
+    np.savez(
+        f"{output_name}_pointCloud.npz",
+        road3D=flat_pts[road_mask.reshape(-1)],
+        road_colors=flat_cols[road_mask.reshape(-1)],
+        fence3D=flat_pts[fence_mask.reshape(-1)],
+        fence_colors=flat_cols[fence_mask.reshape(-1)],
+    )
+
+    road_valid = np.asarray(out.road_cloud.valid)
+    road_xyz = np.asarray(out.road_cloud.xyz)[road_valid]
+    road_rgb = np.asarray(out.road_cloud.rgb)[road_valid]
+    PlyCloud(road_xyz, road_rgb, f"{output_name}_ROAD").save()
+
+    line_found = bool(out.rw_found)
+    combined = PlyCloud(road_xyz, road_rgb, output_name)
+    mesh, mesh_cols = art.plane_mesh(
+        road_xyz, np.asarray(out.road_plane), cfg.road.plane.axis, cfg.road.plane.plane_color
+    )
+    combined.add(mesh, mesh_cols)
+    if line_found:
+        line, line_cols = art.measurement_line(
+            np.asarray(out.left_pt_rw), np.asarray(out.right_pt_rw), [250, 0, 0]
+        )
+        line[:, 2] += 0.2  # visualization shift (semantic_depth.py:265)
+        combined.add(line, line_cols)
+
+    if cfg.approach == "both":
+        fl_valid = np.asarray(out.fence_left_valid)
+        fr_valid = np.asarray(out.fence_right_valid)
+        fl_xyz, fl_rgb = flat_pts[fl_valid], flat_cols[fl_valid]
+        fr_xyz, fr_rgb = flat_pts[fr_valid], flat_cols[fr_valid]
+        fence_ply = PlyCloud(fl_xyz, fl_rgb, f"{output_name}_FENCE")
+        fence_ply.add(fr_xyz, fr_rgb)
+        fence_ply.save()
+
+        combined.add(fl_xyz, fl_rgb)
+        combined.add(fr_xyz, fr_rgb)
+        if fl_xyz.shape[0] and fr_xyz.shape[0]:
+            lmesh, lcols = art.plane_mesh(
+                fl_xyz, np.asarray(out.fence_left_plane), cfg.fence.plane_left.axis,
+                cfg.fence.plane_left.plane_color,
+            )
+            rmesh, rcols = art.plane_mesh(
+                fr_xyz, np.asarray(out.fence_right_plane), cfg.fence.plane_right.axis,
+                cfg.fence.plane_right.plane_color,
+            )
+            combined.add(lmesh, lcols)
+            combined.add(rmesh, rcols)
+        f2f_line, f2f_cols = art.measurement_line(
+            np.asarray(out.left_pt_f2f), np.asarray(out.right_pt_f2f), [0, 255, 0]
+        )
+        combined.add(f2f_line, f2f_cols)
+    combined.save()
+
+    # ALL cloud with measurement lines (semantic_depth.py:433-438)
+    all_ply = PlyCloud(flat_pts, flat_cols, f"{output_name}_ALL")
+    if line_found:
+        line, line_cols = art.measurement_line(
+            np.asarray(out.left_pt_rw), np.asarray(out.right_pt_rw), [250, 0, 0]
+        )
+        all_ply.add(line, line_cols)
+    if cfg.approach == "both":
+        f2f_line, f2f_cols = art.measurement_line(
+            np.asarray(out.left_pt_f2f), np.asarray(out.right_pt_f2f), [0, 255, 0]
+        )
+        all_ply.add(f2f_line, f2f_cols)
+    all_ply.save()
+
+    # annotated overlay (the headline output PNG)
+    annotated = annotate_single(
+        overlay_full,
+        cfg.depth,
+        is_city,
+        cfg.approach,
+        float(out.dist_rw),
+        np.asarray(out.left_pt_rw),
+        np.asarray(out.right_pt_rw),
+        float(out.dist_f2f),
+        np.asarray(out.left_pt_f2f),
+        np.asarray(out.right_pt_f2f),
+    )
+    imwrite(f"{output_name}.png", annotated)

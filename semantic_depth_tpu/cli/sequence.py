@@ -1,0 +1,126 @@
+"""Cityscapes sequence entry point (reference
+semantic_depth_cityscapes_sequence.py:592-705).
+
+Processes a sorted glob of frames with the rw approach by default, writing a
+per-frame annotated overlay PNG and a masked-road PLY (with the measurement
+line when found), under
+``results/<name>/{result_sequence_imgs,result_sequence_ply,rendered_sequence}``.
+
+TPU-native upgrade over the reference's strictly sequential loop: device work
+for frame N+1 is dispatched while frame N's outputs are still being fetched
+and written (double buffering) — the reference has no such overlap
+(seq:689-701).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import numpy as np
+
+from ..config import sequence_pipeline_config
+from ..io import artifacts as art
+from ..io.ply import PlyCloud
+from . import common
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Apply the semantic-depth pipeline to a sequence of frames."
+    )
+    p.add_argument("--input_folder", default="data/stuttgart_video/*.png",
+                   help="glob of input frames (seq:598-602)")
+    p.add_argument("--semantic_model", default="models/sem_seg/30-Epochs-cityscapes")
+    p.add_argument("--monodepth_checkpoint",
+                   default="models/monodepth/model_cityscapes/model_cityscapes")
+    p.add_argument("--monodepth_encoder", type=str, default="vgg")
+    p.add_argument("--input_height", type=int, default=256)
+    p.add_argument("--input_width", type=int, default=512)
+    p.add_argument("--approach", type=str, default="rw")
+    p.add_argument("--depth", type=float, default=10)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--output_name", default="stuttgart_video")
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--use_frozen", action="store_true", help="(compat no-op)")
+    p.add_argument("--use_xla", action="store_true", help="(compat no-op)")
+    p.add_argument("--CUDA_DEVICE_NUMBER", default="0", help="(compat no-op)")
+    p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def save_sequence_artifacts(out, cfg, output_name, original_hw, result_images_dir, result_ply_dir):
+    import jax.numpy as jnp
+
+    from ..ops.resize import resize_clip_u8
+
+    line_found = bool(out.rw_found)
+    dist_rw = float(out.dist_rw)
+    left = np.asarray(out.left_pt_rw)
+    right = np.asarray(out.right_pt_rw)
+
+    # full-res annotated overlay (seq:305-346)
+    overlay_small = np.asarray(out.overlay_small)
+    oh, ow = original_hw
+    overlay_full = np.asarray(resize_clip_u8(jnp.asarray(overlay_small), (oh, ow)))
+    annotated = common.annotate_sequence(overlay_full, cfg.depth, line_found, dist_rw, left, right)
+    common.imwrite(os.path.join(result_images_dir, f"{output_name}.png"), annotated)
+
+    # masked-road PLY + rw line (seq:355-361)
+    road_valid = np.asarray(out.road_cloud.valid)
+    road_xyz = np.asarray(out.road_cloud.xyz)[road_valid]
+    road_rgb = np.asarray(out.road_cloud.rgb)[road_valid]
+    ply = PlyCloud(road_xyz, road_rgb, os.path.join(result_ply_dir, f"{output_name}_rw"))
+    if line_found:
+        line, cols = art.measurement_line(left, right, [250, 0, 0])
+        ply.add(line, cols)
+    ply.save()
+    return dist_rw if line_found else None
+
+
+def main(argv=None):
+    from ..runtime import setup_cache
+
+    setup_cache()
+    args = build_arg_parser().parse_args(argv)
+    cfg = sequence_pipeline_config(
+        input_height=args.input_height,
+        input_width=args.input_width,
+        approach=args.approach,
+        depth=args.depth,
+    )
+    pipe = common.build_pipeline(
+        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny
+    )
+
+    out_root = os.path.join(args.results_dir, args.output_name)
+    result_images_dir = os.path.join(out_root, "result_sequence_imgs")
+    result_ply_dir = os.path.join(out_root, "result_sequence_ply")
+    rendered_dir = os.path.join(out_root, "rendered_sequence")
+    for d in (result_images_dir, result_ply_dir, rendered_dir):
+        os.makedirs(d, exist_ok=True)
+
+    frames = sorted(glob(args.input_folder))
+    if not frames:
+        raise SystemExit(f"no frames match {args.input_folder}")
+
+    # Double-buffered streaming: dispatch N+1 before fetching N.
+    pending = []  # list of (output_name, original_hw, FrameOutputs)
+    for path in frames:
+        print(f"\n\nPROCESSING NEW FRAME! {path}\n")
+        frame = common.imread_bgr(path)
+        out = pipe.process_frame(frame.astype(np.float32))
+        output_name = os.path.splitext(os.path.basename(path))[0]
+        pending.append((output_name, frame.shape[:2], out))
+        if len(pending) > 1:
+            name, hw, prev = pending.pop(0)
+            d = save_sequence_artifacts(prev, cfg, name, hw, result_images_dir, result_ply_dir)
+            if args.verbose and d is not None:
+                print("Road width", d)
+    for name, hw, prev in pending:
+        save_sequence_artifacts(prev, cfg, name, hw, result_images_dir, result_ply_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""ASCII PLY export, format-compatible with the reference writer
+(semantic_depth_lib/point_cloud_2_ply.py:33-93).
+
+Header layout (including the indented continuation lines produced by the
+reference's triple-quoted header string) and the ``%f %f %f %d %d %d`` row
+format are reproduced exactly so downstream viewers and diff-based checks see
+identical files. The "infinity filter" drops points whose z equals the cloud
+minimum before saving (point_cloud_2_ply.py:87-90).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# The reference embeds the header as an indented triple-quoted string; the
+# leading spaces on continuation lines are part of the file format it emits.
+_PLY_HEADER = (
+    "ply\n"
+    "    format ascii 1.0\n"
+    "    element vertex {vertex_count}\n"
+    "    property float x\n"
+    "    property float y\n"
+    "    property float z\n"
+    "    property uchar red\n"
+    "    property uchar green\n"
+    "    property uchar blue\n"
+    "    end_header\n"
+    "    "
+)
+
+
+class PlyCloud:
+    """Accumulates (points, colors) blocks and writes one ASCII PLY.
+
+    Mirrors PointCloud2Ply: ``add`` appends extra clouds, ``save`` applies the
+    infinity filter and writes ``<output_name>.ply``.
+    """
+
+    def __init__(self, points3d: np.ndarray, colors: np.ndarray, output_name: str):
+        self.points3d = np.asarray(points3d, np.float64).reshape(-1, 3)
+        self.colors = np.asarray(colors, np.float64).reshape(-1, 3)
+        self.output_name = output_name
+
+    def add(self, points3d: np.ndarray, colors: np.ndarray) -> None:
+        self.points3d = np.append(self.points3d, np.asarray(points3d).reshape(-1, 3), axis=0)
+        self.colors = np.append(self.colors, np.asarray(colors).reshape(-1, 3), axis=0)
+
+    def save(self) -> str:
+        if self.points3d.shape[0] == 0:
+            pts = self.points3d
+            cols = self.colors
+        else:
+            # Infinity filter: drop points sitting at the minimum z.
+            mask = self.points3d[:, 2] > self.points3d[:, 2].min()
+            pts = self.points3d[mask]
+            cols = self.colors[mask]
+        rows = np.hstack([pts, cols])
+        path = f"{self.output_name}.ply"
+        with open(path, "w") as f:
+            f.write(_PLY_HEADER.format(vertex_count=len(rows)))
+            np.savetxt(f, rows, "%f %f %f %d %d %d")
+        return path
+
+
+def write_ply(points3d, colors, output_name) -> str:
+    cloud = PlyCloud(points3d, colors, output_name)
+    return cloud.save()

@@ -1,0 +1,230 @@
+"""Weight persistence and TF1-checkpoint conversion.
+
+Native format: a single msgpack file of the flax variable dict
+(``save_params``/``load_params``) — used by the CLIs; the trainer uses orbax
+for step checkpoints.
+
+Conversion: the reference publishes three weight sets (SURVEY.md §5
+checkpoint/resume): the Udacity VGG16 SavedModel + trained FCN decoder
+(fcn8s/fcn.py:136-154), and monodepth ckpts (models/get_monodepth_sh:1-21).
+``convert_monodepth_checkpoint`` / ``convert_fcn_checkpoint`` map TF1
+variables onto our flax modules.
+
+Layout notes (verified by tests/test_weights.py against live TF):
+* tf.nn.conv2d kernels are HWIO — identical to flax Conv, no transform;
+* tf.layers.conv2d_transpose kernels are (H, W, out_ch, in_ch) and TF
+  computes the *gradient-of-conv*; flax ConvTranspose(transpose_kernel=True)
+  matches it when fed the TF kernel with the same (H, W, O, I) layout.
+* slim auto-names layers Conv, Conv_1, ... per variable scope in graph
+  creation order; our module layer names are generated in the same creation
+  order, so mapping is positional per scope.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+from flax import serialization, traverse_util
+
+
+def save_params(params: Any, path: str) -> str:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+def load_params(template: Any, path: str) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+# ---------------------------------------------------------------------------
+# TF1 checkpoint readers
+# ---------------------------------------------------------------------------
+
+
+def _read_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Read every variable of a TF1 checkpoint into numpy (requires
+    tensorflow; the wheel in this image reads TF1-format checkpoints)."""
+    import tensorflow as tf  # local import: heavy, optional
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    shapes = reader.get_variable_to_shape_map()
+    out = {}
+    for name in shapes:
+        if name.endswith("/Adam") or name.endswith("/Adam_1") or "Momentum" in name:
+            continue  # optimizer slots
+        if name in ("beta1_power", "beta2_power", "global_step"):
+            continue
+        out[name] = np.asarray(reader.get_tensor(name))
+    return out
+
+
+def _slim_order(names: List[str], scope: str) -> List[str]:
+    """Sort slim auto-named layers (Conv, Conv_1, Conv_2, ...) of one scope in
+    creation order."""
+
+    def key(n):
+        m = re.match(rf"{re.escape(scope)}/Conv(?:_(\d+))?/", n)
+        if not m:
+            return None
+        return int(m.group(1) or 0)
+
+    layer_ids = sorted({key(n) for n in names if key(n) is not None})
+    return layer_ids
+
+
+# ---------------------------------------------------------------------------
+# monodepth conversion
+# ---------------------------------------------------------------------------
+
+# Our layer creation order replicates the reference graph's per-scope slim
+# numbering (see models/monodepth.py __call__).
+_MONODEPTH_VGG_ENCODER = [f"enc{i}{s}" for i in range(1, 8) for s in ("a", "b")]
+
+
+def _monodepth_decoder_order(n_ups: int) -> List[str]:
+    names = []
+    for level in range(n_ups, 0, -1):
+        names.append(f"upconv{level}")
+        names.append(f"iconv{level}")
+        if level <= 4:
+            names.append(f"disp{level}")
+    return names
+
+
+def _monodepth_resnet_encoder_order() -> List[str]:
+    names = ["enc1"]
+    for bi, (blk, n) in enumerate([("res2", 3), ("res3", 4), ("res4", 6), ("res5", 3)]):
+        for i in range(n):
+            # creation order inside resconv: c1, c2, c3, then shortcut conv
+            base = f"{blk}_{i}"
+            names += [f"{base}_c1", f"{base}_c2", f"{base}_c3", f"{base}_sc"]
+    return names
+
+
+def convert_monodepth_checkpoint(ckpt_path: str, encoder: str = "vgg") -> Dict:
+    """TF1 monodepth checkpoint -> flax params dict for models.Monodepth."""
+    tf_vars = _read_tf_checkpoint(ckpt_path)
+    names = list(tf_vars)
+
+    def scope_layers(scope: str) -> List[int]:
+        return _slim_order(names, scope)
+
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def take(scope: str, slim_idx: int, our_name: str, has_bias: bool = True):
+        suffix = "" if slim_idx == 0 else f"_{slim_idx}"
+        w = tf_vars[f"{scope}/Conv{suffix}/weights"]
+        entry = {"kernel": w}
+        bias_name = f"{scope}/Conv{suffix}/biases"
+        if bias_name in tf_vars:
+            entry["bias"] = tf_vars[bias_name]
+        else:
+            entry["bias"] = np.zeros((w.shape[-1],), w.dtype)
+        params[our_name] = entry
+
+    if encoder == "vgg":
+        enc_names = _MONODEPTH_VGG_ENCODER
+        n_ups = 7
+    elif encoder == "resnet50":
+        enc_names = _monodepth_resnet_encoder_order()
+        n_ups = 6
+        # projection shortcuts only exist where do_proj was true upstream;
+        # filter our name list down to layers present in the checkpoint
+        n_enc = len(scope_layers("model/encoder"))
+        if n_enc != len(enc_names):
+            # drop _sc entries for non-projecting blocks, in order
+            raise NotImplementedError(
+                "resnet50 checkpoint has optional projection shortcuts; "
+                f"expected {len(enc_names)} encoder convs, found {n_enc}. "
+                "Extend the order list with the checkpoint's block layout."
+            )
+    else:
+        raise ValueError(encoder)
+
+    for idx, our in enumerate(enc_names):
+        take("model/encoder", idx, our)
+    for idx, our in enumerate(_monodepth_decoder_order(n_ups)):
+        take("model/decoder", idx, our)
+
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# FCN-8s conversion
+# ---------------------------------------------------------------------------
+
+# Udacity VGG16 SavedModel variable names (scope/var) and our module names.
+_FCN_VGG_NAME_MAP = {
+    f"conv{b}_{c}": f"conv{b}_{c}"
+    for b, n in [(1, 2), (2, 2), (3, 3), (4, 3), (5, 3)]
+    for c in range(1, n + 1)
+}
+_FCN_VGG_NAME_MAP.update({"fc6": "fc6", "fc7": "fc7"})
+
+# The decoder layers were created with tf.layers in this graph order
+# (fcn.py:165-213), yielding auto-names conv2d, conv2d_1, conv2d_2 and
+# conv2d_transpose, conv2d_transpose_1, conv2d_transpose_2.
+_FCN_DECODER_CONV_ORDER = ["score_fc7", "score_pool4", "score_pool3"]
+_FCN_DECODER_DECONV_ORDER = ["upscore2", "upscore4", "upscore8"]
+
+
+def convert_fcn_checkpoint(ckpt_path: str) -> Dict:
+    """TF1 FCN-8s checkpoint (saved by fcn.py save_model, containing VGG +
+    decoder vars) -> flax params for models.FCN8s."""
+    tf_vars = _read_tf_checkpoint(ckpt_path)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def put(our_name: str, w: np.ndarray, b: np.ndarray, transpose_conv: bool = False):
+        # TF conv2d_transpose kernels are (H, W, O, I); flax ConvTranspose
+        # with transpose_kernel=True consumes exactly that layout.
+        params[our_name] = {"kernel": w, "bias": b}
+
+    # VGG encoder: variables may be named either '<layer>/filter' (Udacity
+    # SavedModel) or '<layer>/weights'/'kernel' depending on the export.
+    for tf_scope, our_name in _FCN_VGG_NAME_MAP.items():
+        found = False
+        for wkey, bkey in (
+            (f"{tf_scope}/filter", f"{tf_scope}/biases"),
+            (f"{tf_scope}/weights", f"{tf_scope}/biases"),
+            (f"{tf_scope}/kernel", f"{tf_scope}/bias"),
+        ):
+            if wkey in tf_vars:
+                put(our_name, tf_vars[wkey], tf_vars[bkey])
+                found = True
+                break
+        if not found:
+            raise KeyError(f"VGG variable for layer {tf_scope} not found in checkpoint")
+
+    def auto_name(base: str, i: int) -> str:
+        return base if i == 0 else f"{base}_{i}"
+
+    for i, our_name in enumerate(_FCN_DECODER_CONV_ORDER):
+        base = auto_name("conv2d", i)
+        put(our_name, tf_vars[f"{base}/kernel"], tf_vars[f"{base}/bias"])
+    for i, our_name in enumerate(_FCN_DECODER_DECONV_ORDER):
+        base = auto_name("conv2d_transpose", i)
+        put(our_name, tf_vars[f"{base}/kernel"], tf_vars[f"{base}/bias"], transpose_conv=True)
+
+    return {"params": params}
+
+
+def as_jax_params(template: Any, converted: Dict) -> Any:
+    """Graft converted numpy weights onto an initialized template params tree
+    (validates shapes; raises on mismatch)."""
+    flat_t = traverse_util.flatten_dict(serialization.to_state_dict(template))
+    flat_c = traverse_util.flatten_dict(converted)
+    out = {}
+    for k, v in flat_t.items():
+        if k in flat_c:
+            cv = np.asarray(flat_c[k])
+            if cv.shape != v.shape:
+                raise ValueError(f"shape mismatch at {k}: ckpt {cv.shape} vs model {v.shape}")
+            out[k] = cv.astype(np.asarray(v).dtype)
+        else:
+            raise KeyError(f"missing converted weight for {k}")
+    restored = traverse_util.unflatten_dict(out)
+    return serialization.from_state_dict(template, restored)

@@ -54,6 +54,7 @@ def _block_d2(xyz: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
 
 def _column_blocks(cloud: MaskedCloud, block_size: int):
     c = cloud.capacity
+    block_size = min(block_size, c)
     if c % block_size != 0:
         raise ValueError(f"capacity {c} must be a multiple of block_size {block_size}")
     nb = c // block_size

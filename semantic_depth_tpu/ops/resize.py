@@ -82,13 +82,20 @@ def resize(img: jnp.ndarray, out_hw, method: str = "cubic") -> jnp.ndarray:
     wr = jnp.asarray(_interp_matrix(src_h, out_h, method))
     wc = jnp.asarray(_interp_matrix(src_w, out_w, method))
     x = img.astype(jnp.float32)
+    c = x.shape[2]
     # HIGHEST precision: default matmul precision is bf16-grade, which costs
     # ~0.5 intensity levels of noise on 0..255 images.
     hi = jax.lax.Precision.HIGHEST
-    # rows: (out_h, src_h) @ (src_h, src_w*C)
-    x = jnp.einsum("ik,kwc->iwc", wr, x, precision=hi, preferred_element_type=jnp.float32)
-    # cols: (out_w, src_w) applied to axis 1
-    x = jnp.einsum("jl,ilc->ijc", wc, x, precision=hi, preferred_element_type=jnp.float32)
+    # Both passes as clean (M, K) @ (K, N) matmuls — keeping the size-C
+    # channel axis out of the contraction minor dims (a trailing dim of 3
+    # forces 128-lane tile padding and ~40x wasted MXU work).
+    # rows: (out_h, src_h) @ (src_h, src_w * C)
+    x = jnp.dot(wr, x.reshape(src_h, src_w * c), precision=hi,
+                preferred_element_type=jnp.float32)
+    # cols: (out_h * C, src_w) @ (src_w, out_w)
+    x = x.reshape(out_h, src_w, c).transpose(0, 2, 1).reshape(out_h * c, src_w)
+    x = jnp.dot(x, wc.T, precision=hi, preferred_element_type=jnp.float32)
+    x = x.reshape(out_h, c, out_w).transpose(0, 2, 1)
     if squeeze:
         x = x[:, :, 0]
     return x

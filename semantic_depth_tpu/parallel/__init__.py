@@ -1,0 +1,19 @@
+"""Multi-device scaling: mesh construction, sharded inference batching, and
+the dp x tp sharded FCN-8s training step.
+
+The reference is strictly single-GPU (SURVEY.md §2: no distributed code
+exists upstream); this subsystem is a new TPU-native capability. Design:
+
+* **data parallelism** over frames/batches (`dp` mesh axis) — the natural
+  scale-out for both training and the streamed sequence path;
+* **tensor parallelism** over the fat fc6/fc7 channels of the FCN-8s encoder
+  (`tp` mesh axis) — the only layers big enough to be worth sharding;
+* XLA inserts the all-reduce/all-gather collectives from sharding
+  annotations (GSPMD); no hand-written NCCL-style code, per the scaling-book
+  recipe: pick a mesh, annotate, let the compiler place collectives on ICI.
+"""
+
+from .mesh import make_mesh, shard_batch
+from .train_step import make_sharded_train_step, shard_fcn_params
+
+__all__ = ["make_mesh", "shard_batch", "make_sharded_train_step", "shard_fcn_params"]

@@ -1,0 +1,236 @@
+"""The fused SemanticDepth pipeline: one jitted XLA program from full-res
+frame to road-width scalar.
+
+Reference counterpart: ``FrameProcessor.process_frame`` (semantic_depth.py:
+81-460; sequence variant seq:103-376), which bounces between host OpenCV,
+two tf.Sessions, host NumPy/SciPy and Open3D — ~79% of its wall time is host
+work (thesis Table 19). Here every stage is staged into a single ``jax.jit``
+program:
+
+    resize (MXU matmuls) -> FCN-8s softmax masks -> monodepth flip-batch
+    -> flip-average postprocess -> disparity scaling -> Q back-projection
+    -> masked road denoise chain -> MXU outlier removal -> rw endpoints
+    [-> fence chains + plane intersections for f2f]
+    -> overlay composition
+
+Dynamic quantities that change across frames/sweeps — the focal length (the
+Munich 380/580 sweep, semantic_depth.py:854-859) and the disparity multiplier
+(original width vs hardcoded 3800, seq:105) — are traced scalars, so no
+recompilation occurs between sweep points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import camera as camera_lib
+from .config import PipelineConfig
+from .models import FCN8s, Monodepth
+from .models.monodepth import flip_average_postprocess
+from .ops import neighbors, pcl
+from .ops.overlay import segmentation_overlay
+from .ops.resize import resize_clip_u8
+
+
+@struct.dataclass
+class FrameOutputs:
+    """Everything the entry points need; all device arrays, fetched lazily.
+
+    Scalars are f32 ();  masks (h, w) bool; dense clouds share (h*w,)-shaped
+    storage with ``points3d``/``colors`` via boolean masks instead of gathers.
+    """
+
+    dist_rw: jnp.ndarray
+    dist_f2f: jnp.ndarray  # nan when approach == 'rw'
+    rw_found: jnp.ndarray  # bool — the sequence script's line_found guard
+    left_pt_rw: jnp.ndarray  # (3,)
+    right_pt_rw: jnp.ndarray  # (3,)
+    left_pt_f2f: jnp.ndarray  # (3,) nan when approach == 'rw'
+    right_pt_f2f: jnp.ndarray  # (3,)
+    road_plane: jnp.ndarray  # (4,) [Cx, Cy, Cz, C]
+    fence_left_plane: jnp.ndarray  # (4,)
+    fence_right_plane: jnp.ndarray  # (4,)
+    road_mask: jnp.ndarray  # (h, w) bool
+    fence_mask: jnp.ndarray  # (h, w) bool
+    disparity: jnp.ndarray  # (h, w) f32, already multiplied
+    points3d: jnp.ndarray  # (h, w, 3) f32
+    colors: jnp.ndarray  # (h, w, 3) f32 RGB 0..255
+    overlay_small: jnp.ndarray  # (h, w, 3) f32 0..255, input channel order
+    frame_small: jnp.ndarray  # (h, w, 3) f32 0..255 resized network input
+    road_cloud: pcl.MaskedCloud  # compacted + fully denoised road points
+    fence_left_valid: jnp.ndarray  # (h*w,) bool over points3d.reshape(-1, 3)
+    fence_right_valid: jnp.ndarray  # (h*w,) bool
+
+
+def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig):
+    """Road denoise chain (semantic_depth.py:206-245)."""
+    rc = cfg.road
+    cloud = pcl.keep_beyond(cloud, 2, rc.z_keep_beyond)
+    cloud = pcl.mad_filter(cloud, rc.mad_y.axis, rc.mad_y.threshold)
+    cloud = pcl.mad_filter(cloud, rc.mad_x.axis, rc.mad_x.threshold)
+    cloud, road_plane = pcl.plane_inlier_filter(cloud, rc.plane.axis, rc.plane.threshold)
+    cloud = pcl.compact(cloud, rc.neighbor_capacity)
+    cloud = neighbors.statistical_outlier_filter(cloud, rc.stat_nb_neighbors, rc.stat_std_ratio)
+    cloud = neighbors.radius_outlier_filter(cloud, rc.radius_nb_points, rc.radius)
+    return cloud, road_plane
+
+
+def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineConfig):
+    """Fence denoise chains + plane-plane intersections (semantic_depth.py:
+    273-324)."""
+    fc = cfg.fence
+    fence = pcl.mad_filter(fence, fc.mad_y.axis, fc.mad_y.threshold)
+    fence = pcl.threshold_abs(fence, 2, fc.z_abs_threshold)
+    left, right = pcl.split_by_mean(fence, 0)
+    left = pcl.mad_filter(left, fc.mad_x_left.axis, fc.mad_x_left.threshold)
+    left, left_plane = pcl.plane_inlier_filter(left, fc.plane_left.axis, fc.plane_left.threshold)
+    right = pcl.mad_filter(right, fc.mad_x_right.axis, fc.mad_x_right.threshold)
+    right, right_plane = pcl.plane_inlier_filter(
+        right, fc.plane_right.axis, fc.plane_right.threshold
+    )
+    left_pt = pcl.planes_intersection_at_depth(road_plane, left_plane, cfg.depth)
+    right_pt = pcl.planes_intersection_at_depth(road_plane, right_plane, cfg.depth)
+    dist = pcl.distance_3d(left_pt, right_pt)
+    return left, right, left_plane, right_plane, left_pt, right_pt, dist
+
+
+class SemanticDepthPipeline:
+    """Builds and owns the jitted frame program.
+
+    Args:
+      config: pipeline configuration (presets in semantic_depth_tpu.config).
+      fcn_params / mono_params: flax variable dicts for the two networks.
+      fcn / mono: optionally pre-built modules (tests pass width-scaled ones).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        fcn_params: Any,
+        mono_params: Any,
+        fcn: Optional[FCN8s] = None,
+        mono: Optional[Monodepth] = None,
+    ):
+        self.config = config
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.fcn = fcn or FCN8s(num_classes=config.segmenter.num_classes, compute_dtype=dtype)
+        self.mono = mono or Monodepth(encoder=config.monodepth.encoder, compute_dtype=dtype)
+        self.fcn_params = fcn_params
+        self.mono_params = mono_params
+        self._process = jax.jit(self._process_impl)
+
+    # ------------------------------------------------------------------
+    def segment(self, frame_small: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """FCN-8s forward + 0.5-threshold masks (semantic_depth.py:544-556).
+        frame_small: (h, w, 3) f32 0..255 raw intensities."""
+        logits = self.fcn.apply(self.fcn_params, frame_small[None])
+        probs = jax.nn.softmax(logits[0], axis=-1)
+        thr = self.config.segmenter.threshold
+        road = probs[:, :, 0] > thr
+        fence = probs[:, :, 1] > thr
+        return road, fence, probs
+
+    def disparity(self, frame_small: jnp.ndarray, disparity_mult: jnp.ndarray) -> jnp.ndarray:
+        """Monodepth flip-batch forward + flip-average postprocess + scaling
+        (semantic_depth.py:667-678, 144-145)."""
+        norm = frame_small.astype(jnp.float32) / 255.0
+        batch = jnp.stack([norm, norm[:, ::-1, :]], axis=0)
+        disp = self.mono.apply(self.mono_params, batch, method=self.mono.disp_left)
+        disp_pp = flip_average_postprocess(disp)
+        return disp_pp * disparity_mult
+
+    # ------------------------------------------------------------------
+    def _process_impl(
+        self, frame: jnp.ndarray, focal: jnp.ndarray, disparity_mult: jnp.ndarray
+    ) -> FrameOutputs:
+        cfg = self.config
+        h, w = cfg.input_height, cfg.input_width
+        cam = dataclasses.replace(cfg.camera, focal=focal)
+
+        frame_small = resize_clip_u8(frame, (h, w))  # MXU, cv2.INTER_CUBIC-equiv
+        road_mask, fence_mask, _ = self.segment(frame_small)
+        disparity = self.disparity(frame_small, disparity_mult)
+        points3d = camera_lib.reproject_disparity(disparity, cam)
+        colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
+
+        road = pcl.from_dense(points3d, colors, road_mask)
+        road, road_plane = _denoise_road(road, cfg)
+
+        depth_rw = cfg.depth - cfg.rw_depth_offset
+        left_rw, right_rw, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
+        dist_rw = jnp.abs(left_rw[0] - right_rw[0])  # semantic_depth.py:259
+
+        nan3 = jnp.full((3,), jnp.nan, jnp.float32)
+        nan4 = jnp.full((4,), jnp.nan, jnp.float32)
+        n = h * w
+        if cfg.approach == "both":
+            fence = pcl.from_dense(points3d, colors, fence_mask)
+            (fl, fr, lplane, rplane, left_f2f, right_f2f, dist_f2f) = _fence_f2f(
+                fence, road_plane, cfg
+            )
+            fl_valid, fr_valid = fl.valid, fr.valid
+        else:
+            dist_f2f = jnp.float32(jnp.nan)
+            left_f2f = right_f2f = nan3
+            lplane = rplane = nan4
+            fl_valid = fr_valid = jnp.zeros((n,), bool)
+
+        overlay = segmentation_overlay(
+            frame_small, road_mask, fence_mask, cfg.segmenter.road_rgba, cfg.segmenter.fence_rgba
+        )
+
+        return FrameOutputs(
+            dist_rw=dist_rw,
+            dist_f2f=dist_f2f,
+            rw_found=found,
+            left_pt_rw=left_rw,
+            right_pt_rw=right_rw,
+            left_pt_f2f=left_f2f,
+            right_pt_f2f=right_f2f,
+            road_plane=road_plane,
+            fence_left_plane=lplane,
+            fence_right_plane=rplane,
+            road_mask=road_mask,
+            fence_mask=fence_mask,
+            disparity=disparity,
+            points3d=points3d,
+            colors=colors,
+            overlay_small=overlay,
+            frame_small=frame_small,
+            road_cloud=road,
+            fence_left_valid=fl_valid,
+            fence_right_valid=fr_valid,
+        )
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        frame,
+        focal: Optional[float] = None,
+        disparity_mult: Optional[float] = None,
+    ) -> FrameOutputs:
+        """Run the fused program on one frame.
+
+        frame: (H0, W0, 3) array, any resolution, 0..255 intensities in the
+          caller's channel order (the reference feeds BGR).
+        focal: overrides config camera focal (traced — no recompile).
+        disparity_mult: overrides config; defaults to the original frame
+          width as in semantic_depth.py:109.
+        """
+        cfg = self.config
+        if focal is None:
+            focal = cfg.camera.focal
+        if disparity_mult is None:
+            disparity_mult = (
+                cfg.disparity_multiplier
+                if cfg.disparity_multiplier is not None
+                else float(frame.shape[1])
+            )
+        frame = jnp.asarray(frame, jnp.float32)
+        return self._process(frame, jnp.float32(focal), jnp.float32(disparity_mult))

@@ -1,0 +1,87 @@
+"""CLI end-to-end smoke tests (tiny networks, random weights, synthetic
+frames) — exercise the full entry-point surface including every artifact."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def frame_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "frames"
+    d.mkdir()
+    for name in ["test_1.png", "test_2.png"]:
+        img = rng.integers(0, 256, size=(96, 192, 3)).astype(np.uint8)
+        Image.fromarray(img).save(d / name)
+    return d
+
+
+def test_single_frame_cli_writes_artifacts(tmp_path, frame_dir, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import semantic_depth as cli
+
+    cli.main(
+        [
+            "--input_frame", str(frame_dir / "test_1.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--save_data",
+            "--dev_tiny",
+            "--results_dir", str(tmp_path / "results"),
+        ]
+    )
+    out_dir = tmp_path / "results" / "test_1"
+    base = out_dir / "test_1_output"
+    for suffix in [
+        ".png",
+        "_only_segmentation.png",
+        "_disp.png",
+        "_road_mask.png",
+        "_fence_mask.png",
+        "_raw.ply",
+        "_pointCloud.npz",
+        "_ROAD.ply",
+        "_ALL.ply",
+        "_times.txt",
+        "_distances.txt",
+    ]:
+        assert (out_dir / f"test_1_output{suffix}").exists() or os.path.exists(
+            str(base) + suffix
+        ), f"missing artifact {suffix}"
+    # times file format parity
+    lines = open(str(base) + "_times.txt").read().splitlines()
+    assert lines[0].startswith("Time read:")
+    assert lines[-1].startswith("Time global:")
+    dist = open(str(base) + "_distances.txt").read()
+    assert dist.startswith("rw distance:")
+
+
+def test_sequence_cli_runs_double_buffered(tmp_path, frame_dir, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import sequence as cli
+
+    cli.main(
+        [
+            "--input_folder", str(frame_dir / "*.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--results_dir", str(tmp_path / "results"),
+            "--output_name", "seq",
+        ]
+    )
+    imgs = tmp_path / "results" / "seq" / "result_sequence_imgs"
+    plys = tmp_path / "results" / "seq" / "result_sequence_ply"
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+    assert sorted(p.name for p in plys.iterdir()) == ["test_1_rw.ply", "test_2_rw.ply"]
+    # PLY header sanity
+    head = open(plys / "test_1_rw.ply").read(200)
+    assert head.startswith("ply\n")
+    assert "element vertex" in head

@@ -1,0 +1,70 @@
+"""Model-layer tests: shapes, determinism, postprocessing oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_depth_tpu.models import FCN8s, Monodepth
+from semantic_depth_tpu.models.monodepth import flip_average_postprocess
+
+
+def test_fcn8s_output_shape_and_dtype():
+    model = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 64, 128, 3)
+    assert logits.dtype == jnp.float32
+
+
+def test_fcn8s_train_dropout_is_stochastic():
+    model = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64)
+    x = jnp.ones((1, 32, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    a = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # eval is deterministic
+    c = model.apply(params, x)
+    d = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+@pytest.mark.parametrize("encoder", ["vgg", "resnet50"])
+def test_monodepth_pyramid_shapes(encoder):
+    # vgg needs H,W multiples of 128 (7 stride-2 stages); resnet50 of 64.
+    model = Monodepth(encoder=encoder, width_mult=0.0625)
+    x = jnp.zeros((2, 128, 256, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    disps = model.apply(params, x)
+    assert len(disps) == 4
+    for i, d in enumerate(disps):
+        assert d.shape == (2, 128 // 2**i, 256 // 2**i, 2), (i, d.shape)
+        vals = np.asarray(d)
+        assert vals.min() >= 0.0 and vals.max() <= 0.3
+
+
+def test_monodepth_disp_left_surface():
+    model = Monodepth(encoder="vgg", width_mult=0.0625)
+    x = jnp.zeros((2, 128, 256, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    dl = model.apply(params, x, method=model.disp_left)
+    assert dl.shape == (2, 128, 256)
+
+
+def test_flip_average_postprocess_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(0, 0.3, size=(2, 16, 32)).astype(np.float32)
+    got = np.asarray(flip_average_postprocess(jnp.asarray(disp)))
+
+    # independent oracle following semantic_depth.py:656-664
+    _, h, w = disp.shape
+    l_disp = disp[0]
+    r_disp = np.fliplr(disp[1])
+    m_disp = 0.5 * (l_disp + r_disp)
+    l, _ = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+    l_mask = 1.0 - np.clip(20 * (l - 0.05), 0, 1)
+    r_mask = np.fliplr(l_mask)
+    want = r_mask * l_disp + l_mask * r_disp + (1.0 - l_mask - r_mask) * m_disp
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,105 @@
+"""Pipeline tests: analytic road-width recovery on a synthetic scene, and a
+full fused-program smoke test with width-scaled networks."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_depth_tpu import camera as camera_lib
+from semantic_depth_tpu import pipeline as pl
+from semantic_depth_tpu.config import (
+    CAMERA_MUNICH,
+    PipelineConfig,
+    munich_pipeline_config,
+)
+from semantic_depth_tpu.models import FCN8s, Monodepth
+from semantic_depth_tpu.ops import pcl
+
+
+def synthetic_road_scene(cam, h=256, w=512, road_halfwidth=4.0, cam_height=1.5):
+    """Disparity map + road mask for a flat ground plane y = -cam_height.
+
+    Ground rows (below the principal point) get the disparity consistent with
+    the plane; the road mask covers |X| < road_halfwidth. Analytic road width
+    at any visible depth is 2 * road_halfwidth (up to one pixel footprint).
+    """
+    ys = np.arange(h, dtype=np.float64)[:, None]
+    xs = np.arange(w, dtype=np.float64)[None, :]
+    # Y = (cy - y) * b / d == -cam_height  =>  d = (y - cy) * b / cam_height
+    d = np.broadcast_to((ys - cam.cy) * cam.baseline / cam_height, (h, w)).copy()
+    # A perfectly planar cloud has MAD == 0, which (faithfully to the
+    # reference's nan-penalty semantics) removes every point — add realistic
+    # sub-pixel disparity noise so the denoise chain behaves as on real data.
+    rng = np.random.default_rng(0)
+    d = d * (1.0 + rng.normal(0.0, 1e-3, size=d.shape))
+    ground = d > 1e-3
+    d = np.where(ground, d, 1e-3)
+    # X = (x - cx) * b / d
+    X = (xs - cam.cx) * cam.baseline / d
+    road_mask = ground & (np.abs(X) < road_halfwidth)
+    return d.astype(np.float32), road_mask
+
+
+def test_geometry_chain_recovers_analytic_width():
+    cfg = munich_pipeline_config()
+    cam = CAMERA_MUNICH
+    disp, road_mask = synthetic_road_scene(cam, road_halfwidth=4.0)
+    pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
+    colors = jnp.zeros_like(pts)
+    cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
+    road, road_plane = pl._denoise_road(cloud, cfg)
+    depth_rw = cfg.depth - cfg.rw_depth_offset
+    left, right, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
+    assert bool(found)
+    width = float(jnp.abs(left[0] - right[0]))
+    # pixel footprint at ~10 m with f=380 is ~2.6 cm; allow 2 pixels
+    assert width == pytest.approx(8.0, abs=0.06)
+    # the fitted road plane should be y = -1.5: coeffs ~ (0, -1, 0, -1.5)
+    plane = np.asarray(road_plane)
+    np.testing.assert_allclose(plane, [0.0, -1.0, 0.0, -1.5], atol=1e-2)
+
+
+def tiny_pipeline(approach="both"):
+    import jax
+
+    cfg = munich_pipeline_config(
+        input_height=128,
+        input_width=256,
+        approach=approach,
+        road=dataclasses.replace(munich_pipeline_config().road, neighbor_capacity=2048),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    mono = Monodepth(encoder="vgg", width_mult=0.0625)
+    x = jnp.zeros((1, 128, 256, 3), jnp.float32)
+    fcn_params = fcn.init(jax.random.PRNGKey(0), x)
+    mono_params = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3), jnp.float32))
+    return pl.SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
+
+
+def test_full_pipeline_smoke():
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(384, 768, 3)).astype(np.float32)
+    pipe = tiny_pipeline()
+    out = pipe.process_frame(frame)
+    assert out.disparity.shape == (128, 256)
+    assert out.points3d.shape == (128, 256, 3)
+    assert out.overlay_small.shape == (128, 256, 3)
+    ov = np.asarray(out.overlay_small)
+    assert ov.min() >= 0 and ov.max() <= 255
+    assert out.road_mask.dtype == bool
+    # scalars must materialize without error (values may be nan on noise input)
+    float(out.dist_rw)
+    float(out.dist_f2f)
+    # disparity multiplier defaulted to original width
+    assert np.asarray(out.disparity).max() <= 0.3 * 768 + 1e-3
+
+
+def test_pipeline_focal_and_mult_are_traced_not_static():
+    frame = np.zeros((256, 512, 3), np.float32)
+    pipe = tiny_pipeline(approach="rw")
+    pipe.process_frame(frame, focal=380.0)
+    n0 = pipe._process._cache_size()
+    pipe.process_frame(frame, focal=580.0, disparity_mult=3800.0)
+    assert pipe._process._cache_size() == n0  # no recompile across the sweep
