@@ -30,7 +30,6 @@ from ..io import artifacts as art
 from ..io.ply import PlyCloud
 from ..models import FCN8s, Monodepth
 from ..models import weights as weights_lib
-from ..ops.resize import resize_clip_u8
 from ..pipeline import FrameOutputs, SemanticDepthPipeline
 
 
@@ -69,6 +68,20 @@ def save_gray_png(path: str, img: np.ndarray) -> None:
         Image.fromarray(img, mode="L").save(path)
 
 
+def host_resize(img: np.ndarray, oh: int, ow: int, cubic: bool = True) -> np.ndarray:
+    """Host-side resize for ARTIFACT writing only (the compute-path resize is
+    the MXU kernel in ops/resize.py). Keeps artifact IO off the device and
+    avoids a fresh XLA compile per input resolution."""
+    img = np.asarray(img)
+    if _HAS_CV2:
+        interp = cv2.INTER_CUBIC if cubic else cv2.INTER_LINEAR
+        return cv2.resize(img, (ow, oh), interpolation=interp)
+    from PIL import Image
+
+    mode = Image.BICUBIC if cubic else Image.BILINEAR
+    return np.asarray(Image.fromarray(img.astype(np.uint8)).resize((ow, oh), mode))
+
+
 def save_disparity_png(disp: np.ndarray, output_name: str, oh: int, ow: int) -> None:
     """Disparity visualization: upsample to original size, gray colormap
     (semantic_depth.py:681-683 used scipy.misc.imresize + plt.imsave)."""
@@ -77,8 +90,9 @@ def save_disparity_png(disp: np.ndarray, output_name: str, oh: int, ow: int) -> 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    d = np.asarray(resize_clip_u8(jnp.asarray(disp / max(disp.max(), 1e-9) * 255.0), (oh, ow), "linear"))
-    plt.imsave(f"{output_name}_disp.png", d.astype(np.uint8), cmap="gray")
+    d = host_resize((disp / max(float(np.max(disp)), 1e-9) * 255.0).astype(np.float32),
+                    oh, ow, cubic=False)
+    plt.imsave(f"{output_name}_disp.png", np.clip(d, 0, 255).astype(np.uint8), cmap="gray")
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +279,7 @@ def save_frame_artifacts(
 ) -> None:
     oh, ow = original_bgr.shape[:2]
     overlay_small = np.asarray(out.overlay_small)
-    overlay_full = np.asarray(resize_clip_u8(jnp.asarray(overlay_small), (oh, ow)))
+    overlay_full = host_resize(overlay_small.astype(np.float32), oh, ow)
 
     # only-segmentation image (semantic_depth.py:341-345)
     imwrite(f"{output_name}_only_segmentation.png", overlay_full)

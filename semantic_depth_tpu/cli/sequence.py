@@ -51,10 +51,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def save_sequence_artifacts(out, cfg, output_name, original_hw, result_images_dir, result_ply_dir):
-    import jax.numpy as jnp
-
-    from ..ops.resize import resize_clip_u8
-
     line_found = bool(out.rw_found)
     dist_rw = float(out.dist_rw)
     left = np.asarray(out.left_pt_rw)
@@ -63,7 +59,7 @@ def save_sequence_artifacts(out, cfg, output_name, original_hw, result_images_di
     # full-res annotated overlay (seq:305-346)
     overlay_small = np.asarray(out.overlay_small)
     oh, ow = original_hw
-    overlay_full = np.asarray(resize_clip_u8(jnp.asarray(overlay_small), (oh, ow)))
+    overlay_full = common.host_resize(overlay_small.astype(np.float32), oh, ow)
     annotated = common.annotate_sequence(overlay_full, cfg.depth, line_found, dist_rw, left, right)
     common.imwrite(os.path.join(result_images_dir, f"{output_name}.png"), annotated)
 

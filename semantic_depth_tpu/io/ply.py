@@ -65,3 +65,39 @@ class PlyCloud:
 def write_ply(points3d, colors, output_name) -> str:
     cloud = PlyCloud(points3d, colors, output_name)
     return cloud.save()
+
+
+def read_ply(path: str):
+    """Read an ASCII PLY with x y z [red green blue] vertex properties.
+    Returns (points (N, 3) f64, colors (N, 3) f64 or zeros)."""
+    with open(path, "r") as f:
+        line = f.readline()
+        if not line.startswith("ply"):
+            raise ValueError(f"{path}: not a PLY file")
+        n_vertices = 0
+        props = []
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated header")
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "element" and tok[1] == "vertex":
+                n_vertices = int(tok[2])
+            elif tok[0] == "property":
+                props.append(tok[2])
+            elif tok[0] == "end_header":
+                break
+            elif tok[0] == "format" and tok[1] != "ascii":
+                raise ValueError(f"{path}: only ascii PLY supported")
+        data = np.loadtxt(f, max_rows=n_vertices)
+    data = np.atleast_2d(data)
+    ix = [props.index(p) for p in ("x", "y", "z")]
+    pts = data[:, ix]
+    if all(p in props for p in ("red", "green", "blue")):
+        ic = [props.index(p) for p in ("red", "green", "blue")]
+        cols = data[:, ic]
+    else:
+        cols = np.zeros_like(pts)
+    return pts, cols

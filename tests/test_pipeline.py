@@ -103,3 +103,21 @@ def test_pipeline_focal_and_mult_are_traced_not_static():
     n0 = pipe._process._cache_size()
     pipe.process_frame(frame, focal=580.0, disparity_mult=3800.0)
     assert pipe._process._cache_size() == n0  # no recompile across the sweep
+
+
+def test_process_batch_matches_single():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(2, 256, 512, 3)).astype(np.float32)
+    pipe = tiny_pipeline(approach="rw")
+    single = [pipe.process_frame(frames[i]) for i in range(2)]
+    batched = pipe.process_batch(frames)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(batched.disparity[i]), np.asarray(single[i].disparity),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched.road_mask[i]), np.asarray(single[i].road_mask)
+        )
+        a, b = float(batched.dist_rw[i]), float(single[i].dist_rw)
+        assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-5)

@@ -1,0 +1,93 @@
+"""Utility-tier tests: video assembly, PLY read/render roundtrip, outlier
+demo, video segmentation CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from semantic_depth_tpu.io.ply import PlyCloud, read_ply
+from semantic_depth_tpu.utils.outlier_removal import filter_ply
+from semantic_depth_tpu.utils.render_ply import render_points
+from semantic_depth_tpu.utils.video import create_video_from_frames
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3))
+    cols = rng.integers(0, 256, size=(50, 3)).astype(float)
+    path = PlyCloud(pts, cols, str(tmp_path / "cloud")).save()
+    rpts, rcols = read_ply(path)
+    # save() drops min-z points (infinity filter)
+    assert rpts.shape[0] == 49
+    keep = pts[:, 2] > pts[:, 2].min()
+    np.testing.assert_allclose(rpts, pts[keep], atol=1e-5)
+    np.testing.assert_allclose(rcols, cols[keep])
+
+
+def test_render_points_paints_pixels():
+    # a red wall of points 5 m in front of the camera
+    xs, ys = np.meshgrid(np.linspace(-2, 2, 40), np.linspace(-1, 1, 20))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, -5.0)], axis=1)
+    cols = np.tile([255.0, 0.0, 0.0], (pts.shape[0], 1))
+    img = render_points(pts, cols, image_hw=(64, 128), focal=60.0)
+    red = (img[:, :, 0] > 200) & (img[:, :, 1] < 50)
+    assert red.sum() > 50
+
+
+def test_render_zbuffer_keeps_nearest():
+    # two points projecting to the same pixel: near green beats far red
+    pts = np.array([[0.0, 0.5, -5.0], [0.0, 0.5, -20.0]])
+    cols = np.array([[0.0, 255.0, 0.0], [255.0, 0.0, 0.0]])
+    img = render_points(pts, cols, image_hw=(64, 64), focal=50.0, splat=1)
+    painted = np.argwhere(np.any(img != 255, axis=-1))
+    assert painted.size > 0
+    y, x = painted[0]
+    assert img[y, x, 1] > 200 and img[y, x, 0] < 50
+
+
+def test_outlier_demo_filters(tmp_path):
+    rng = np.random.default_rng(1)
+    dense = rng.normal(size=(400, 3)) * 0.3
+    stray = np.array([[50.0, 50.0, 50.0], [-60.0, 0.0, 0.0]])
+    pts = np.concatenate([dense, stray])
+    cols = np.zeros_like(pts)
+    src = PlyCloud(pts, cols, str(tmp_path / "noisy")).save()
+    out = filter_ply(src, str(tmp_path / "clean.ply"), nb_neighbors=5, std_ratio=2.0,
+                     nb_points=3, radius=1.0)
+    rpts, _ = read_ply(out)
+    assert rpts.shape[0] < pts.shape[0]
+    assert np.abs(rpts).max() < 10  # strays removed
+
+
+def test_video_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        img = rng.integers(0, 255, (32, 64, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"f_{i:03d}.png"), img)
+    out = create_video_from_frames(str(tmp_path / "*.png"), str(tmp_path / "v.mp4"), fps=5)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    cap.release()
+
+
+def test_segment_video_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 64))
+    for _ in range(5):
+        w.write(rng.integers(0, 255, (64, 128, 3)).astype(np.uint8))
+    w.release()
+
+    from semantic_depth_tpu.cli import segment_video
+
+    out = str(tmp_path / "out.mp4")
+    segment_video.main(
+        ["--input_video", vid, "--output_video", out, "--semantic_model", "random",
+         "--input_height", "128", "--input_width", "256", "--batch", "2", "--dev_tiny"]
+    )
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
