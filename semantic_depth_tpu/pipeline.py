@@ -123,40 +123,52 @@ class SemanticDepthPipeline:
         self.mono = mono or Monodepth(encoder=config.monodepth.encoder, compute_dtype=dtype)
         self.fcn_params = fcn_params
         self.mono_params = mono_params
+        # Params are jit ARGUMENTS, not closure constants: closed-over
+        # variable dicts get baked into the XLA module as literals (hundreds
+        # of MB for the full networks), exploding compile time.
         self._process = jax.jit(self._process_impl)
         self._process_batch = jax.jit(self._process_batch_impl)
 
     # ------------------------------------------------------------------
-    def segment(self, frame_small: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def segment(
+        self, fcn_params: Any, frame_small: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """FCN-8s forward + 0.5-threshold masks (semantic_depth.py:544-556).
         frame_small: (h, w, 3) f32 0..255 raw intensities."""
-        logits = self.fcn.apply(self.fcn_params, frame_small[None])
+        logits = self.fcn.apply(fcn_params, frame_small[None])
         probs = jax.nn.softmax(logits[0], axis=-1)
         thr = self.config.segmenter.threshold
         road = probs[:, :, 0] > thr
         fence = probs[:, :, 1] > thr
         return road, fence, probs
 
-    def disparity(self, frame_small: jnp.ndarray, disparity_mult: jnp.ndarray) -> jnp.ndarray:
+    def disparity(
+        self, mono_params: Any, frame_small: jnp.ndarray, disparity_mult: jnp.ndarray
+    ) -> jnp.ndarray:
         """Monodepth flip-batch forward + flip-average postprocess + scaling
         (semantic_depth.py:667-678, 144-145)."""
         norm = frame_small.astype(jnp.float32) / 255.0
         batch = jnp.stack([norm, norm[:, ::-1, :]], axis=0)
-        disp = self.mono.apply(self.mono_params, batch, method=self.mono.disp_left)
+        disp = self.mono.apply(mono_params, batch, method=self.mono.disp_left)
         disp_pp = flip_average_postprocess(disp)
         return disp_pp * disparity_mult
 
     # ------------------------------------------------------------------
     def _process_impl(
-        self, frame: jnp.ndarray, focal: jnp.ndarray, disparity_mult: jnp.ndarray
+        self,
+        fcn_params: Any,
+        mono_params: Any,
+        frame: jnp.ndarray,
+        focal: jnp.ndarray,
+        disparity_mult: jnp.ndarray,
     ) -> FrameOutputs:
         cfg = self.config
         h, w = cfg.input_height, cfg.input_width
         cam = dataclasses.replace(cfg.camera, focal=focal)
 
         frame_small = resize_clip_u8(frame, (h, w))  # MXU, cv2.INTER_CUBIC-equiv
-        road_mask, fence_mask, _ = self.segment(frame_small)
-        disparity = self.disparity(frame_small, disparity_mult)
+        road_mask, fence_mask, _ = self.segment(fcn_params, frame_small)
+        disparity = self.disparity(mono_params, frame_small, disparity_mult)
         points3d = camera_lib.reproject_disparity(disparity, cam)
         colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
 
@@ -211,7 +223,12 @@ class SemanticDepthPipeline:
 
     # ------------------------------------------------------------------
     def _process_batch_impl(
-        self, frames: jnp.ndarray, focal: jnp.ndarray, disparity_mult: jnp.ndarray
+        self,
+        fcn_params: Any,
+        mono_params: Any,
+        frames: jnp.ndarray,
+        focal: jnp.ndarray,
+        disparity_mult: jnp.ndarray,
     ) -> FrameOutputs:
         """Batched variant: frames (B, H0, W0, 3). The networks run natively
         batched (FCN on B, monodepth on one 2B flip-batch — better MXU
@@ -226,7 +243,7 @@ class SemanticDepthPipeline:
         small = jax.vmap(lambda f: resize_clip_u8(f, (h, w)))(frames)  # (B, h, w, 3)
         b = small.shape[0]
 
-        logits = self.fcn.apply(self.fcn_params, small)
+        logits = self.fcn.apply(fcn_params, small)
         probs = jax.nn.softmax(logits, axis=-1)
         thr = cfg.segmenter.threshold
         road_masks = probs[..., 0] > thr
@@ -234,7 +251,7 @@ class SemanticDepthPipeline:
 
         norm = small.astype(jnp.float32) / 255.0
         flip_batch = jnp.concatenate([norm, norm[:, :, ::-1, :]], axis=0)  # (2B, h, w, 3)
-        disp_all = self.mono.apply(self.mono_params, flip_batch, method=self.mono.disp_left)
+        disp_all = self.mono.apply(mono_params, flip_batch, method=self.mono.disp_left)
         pairs = jnp.stack([disp_all[:b], disp_all[b:]], axis=1)  # (B, 2, h, w)
         disps = jax.vmap(flip_average_postprocess)(pairs) * disparity_mult
 
@@ -297,7 +314,10 @@ class SemanticDepthPipeline:
                 else float(frames.shape[2])
             )
         frames = jnp.asarray(frames, jnp.float32)
-        return self._process_batch(frames, jnp.float32(focal), jnp.float32(disparity_mult))
+        return self._process_batch(
+            self.fcn_params, self.mono_params, frames,
+            jnp.float32(focal), jnp.float32(disparity_mult),
+        )
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -324,4 +344,7 @@ class SemanticDepthPipeline:
                 else float(frame.shape[1])
             )
         frame = jnp.asarray(frame, jnp.float32)
-        return self._process(frame, jnp.float32(focal), jnp.float32(disparity_mult))
+        return self._process(
+            self.fcn_params, self.mono_params, frame,
+            jnp.float32(focal), jnp.float32(disparity_mult),
+        )

@@ -91,3 +91,36 @@ def test_segment_video_cli(tmp_path):
     cap = cv2.VideoCapture(out)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
     cap.release()
+
+
+def test_native_ply_writer_matches_numpy(tmp_path):
+    """The C++ fast path must be byte-identical to the numpy formatting."""
+    from semantic_depth_tpu.io import ply as ply_mod
+
+    rng = np.random.default_rng(4)
+    pts = np.concatenate([rng.normal(size=(200, 3)) * 20, [[0, 0, -1e9]]])
+    cols = rng.integers(0, 256, size=(201, 3)).astype(float)
+
+    native = ply_mod.PlyCloud(pts, cols, str(tmp_path / "native")).save()
+    assert ply_mod._native_write.__name__  # fast path exists
+
+    # force the numpy fallback by disabling the native lib
+    import semantic_depth_tpu.native.build as nb
+
+    saved_cached, saved_failed = nb._cached, nb._build_failed
+    nb._cached, nb._build_failed = None, True
+    try:
+        fallback = ply_mod.PlyCloud(pts, cols, str(tmp_path / "fallback")).save()
+    finally:
+        nb._cached, nb._build_failed = saved_cached, saved_failed
+
+    a = open(native, "rb").read()
+    b = open(fallback, "rb").read()
+    assert a == b
+
+
+def test_native_ply_writer_builds():
+    from semantic_depth_tpu.native import get_library
+
+    lib = get_library()
+    assert lib is not None, "g++ toolchain expected in this image"
