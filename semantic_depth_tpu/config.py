@@ -80,6 +80,10 @@ class RoadDenoiseConfig:
     # (semantic_depth.py:227-245).
     stat_nb_neighbors: int = 10
     stat_std_ratio: float = 0.5
+    # 'grid': windowed kNN stencil over the image grid (fast TPU path, exact
+    # for dense road clouds); 'exact': O(N^2) MXU distance matrix.
+    stat_mode: str = "grid"
+    stat_window: Tuple[int, int] = (5, 21)
     radius_nb_points: int = 80
     radius: float = 0.5
     # Fixed capacity for the compacted road cloud fed to the O(N^2) neighbor

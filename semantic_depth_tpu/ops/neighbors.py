@@ -29,6 +29,7 @@ Semantics follow Open3D's legacy implementation:
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +100,64 @@ def radius_counts(cloud: MaskedCloud, radius: float, block_size: int = 2048) -> 
 
     counts, _ = jax.lax.scan(step, jnp.zeros((cloud.capacity,), jnp.int32), (cols, colmask))
     return jnp.where(cloud.valid, counts, 0)
+
+
+def knn_mean_distances_grid(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    window: Tuple[int, int] = (5, 21),
+) -> jnp.ndarray:
+    """Mean distance to the k nearest valid neighbors, restricted to an image
+    window — the TPU-native fast path for clouds that come from a pixel grid
+    (which SemanticDepth's always do: the cloud IS the back-projected image,
+    camera.py). For a dense road cloud the true 3D k-NN of a pixel lie within
+    a few rows/columns, so a (5, 21) window reproduces the exact-kNN result;
+    points too isolated to have k candidates in the window get +inf (and are
+    exactly the outliers the statistical filter should drop).
+
+    points: (H, W, 3); valid: (H, W). Returns (H, W) f32, +inf on invalid.
+    O(H*W*window) stencil math instead of the O(N^2) distance matrix.
+    """
+    h, w = valid.shape
+    wh, ww = window
+    ph, pw = wh // 2, ww // 2
+    pts = jnp.where(valid[..., None], points, 0.0).astype(jnp.float32)
+    pad_pts = jnp.pad(pts, ((ph, ph), (pw, pw), (0, 0)))
+    pad_valid = jnp.pad(valid, ((ph, ph), (pw, pw)))
+
+    cands = []
+    for dy in range(wh):
+        for dx in range(ww):
+            shifted = jax.lax.dynamic_slice(pad_pts, (dy, dx, 0), (h, w, 3))
+            svalid = jax.lax.dynamic_slice(pad_valid, (dy, dx), (h, w))
+            d2 = jnp.sum((pts - shifted) ** 2, axis=-1)
+            cands.append(jnp.where(svalid, d2, jnp.inf))
+    cand = jnp.stack(cands, axis=-1)  # (H, W, wh*ww), includes self at 0
+    smallest = -jax.lax.top_k(-cand, k)[0]
+    mean_d = jnp.mean(jnp.sqrt(smallest), axis=-1)
+    return jnp.where(valid, mean_d, jnp.inf)
+
+
+def statistical_outlier_filter_grid(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    nb_neighbors: int,
+    std_ratio: float,
+    window: Tuple[int, int] = (5, 21),
+) -> jnp.ndarray:
+    """Grid-windowed statistical outlier removal: same global
+    mean + std_ratio * sample-std threshold as the exact filter, with
+    windowed kNN. Returns the updated (H, W) validity mask."""
+    mean_d = knn_mean_distances_grid(points, valid, nb_neighbors, window)
+    finite = valid & jnp.isfinite(mean_d)
+    w = finite.astype(jnp.float32)
+    n = jnp.sum(w)
+    vals = jnp.where(finite, mean_d, 0.0)
+    mu = jnp.sum(vals) / n
+    var = jnp.sum(jnp.where(finite, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
+    threshold = mu + std_ratio * jnp.sqrt(var)
+    return valid & (mean_d < threshold)
 
 
 def statistical_outlier_filter(

@@ -68,15 +68,34 @@ class FrameOutputs:
     fence_right_valid: jnp.ndarray  # (h*w,) bool
 
 
-def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig):
-    """Road denoise chain (semantic_depth.py:206-245)."""
+def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
+    """Road denoise chain (semantic_depth.py:206-245).
+
+    grid_hw: when the cloud is a back-projected image grid, its (H, W) —
+    enables the windowed-stencil statistical filter (cfg.road.stat_mode ==
+    'grid'), which replaces the O(N^2) top-k pass with O(N * window) math.
+    """
     rc = cfg.road
     cloud = pcl.keep_beyond(cloud, 2, rc.z_keep_beyond)
     cloud = pcl.mad_filter(cloud, rc.mad_y.axis, rc.mad_y.threshold)
     cloud = pcl.mad_filter(cloud, rc.mad_x.axis, rc.mad_x.threshold)
     cloud, road_plane = pcl.plane_inlier_filter(cloud, rc.plane.axis, rc.plane.threshold)
-    cloud = pcl.compact(cloud, rc.neighbor_capacity)
-    cloud = neighbors.statistical_outlier_filter(cloud, rc.stat_nb_neighbors, rc.stat_std_ratio)
+    if rc.stat_mode == "grid" and grid_hw is not None:
+        h, w = grid_hw
+        new_valid = neighbors.statistical_outlier_filter_grid(
+            cloud.xyz.reshape(h, w, 3),
+            cloud.valid.reshape(h, w),
+            rc.stat_nb_neighbors,
+            rc.stat_std_ratio,
+            rc.stat_window,
+        )
+        cloud = cloud.with_mask(new_valid.reshape(-1))
+        cloud = pcl.compact(cloud, rc.neighbor_capacity)
+    else:
+        cloud = pcl.compact(cloud, rc.neighbor_capacity)
+        cloud = neighbors.statistical_outlier_filter(
+            cloud, rc.stat_nb_neighbors, rc.stat_std_ratio
+        )
     cloud = neighbors.radius_outlier_filter(cloud, rc.radius_nb_points, rc.radius)
     return cloud, road_plane
 
@@ -166,14 +185,16 @@ class SemanticDepthPipeline:
         h, w = cfg.input_height, cfg.input_width
         cam = dataclasses.replace(cfg.camera, focal=focal)
 
-        frame_small = resize_clip_u8(frame, (h, w))  # MXU, cv2.INTER_CUBIC-equiv
+        # frames may arrive uint8 (the camera payload — 4x cheaper on the
+        # host->device link); all math is f32 from here.
+        frame_small = resize_clip_u8(frame.astype(jnp.float32), (h, w))
         road_mask, fence_mask, _ = self.segment(fcn_params, frame_small)
         disparity = self.disparity(mono_params, frame_small, disparity_mult)
         points3d = camera_lib.reproject_disparity(disparity, cam)
         colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
 
         road = pcl.from_dense(points3d, colors, road_mask)
-        road, road_plane = _denoise_road(road, cfg)
+        road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
 
         depth_rw = cfg.depth - cfg.rw_depth_offset
         left_rw, right_rw, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
@@ -240,6 +261,7 @@ class SemanticDepthPipeline:
         h, w = cfg.input_height, cfg.input_width
         cam = dataclasses.replace(cfg.camera, focal=focal)
 
+        frames = frames.astype(jnp.float32)  # uint8 camera payloads welcome
         small = jax.vmap(lambda f: resize_clip_u8(f, (h, w)))(frames)  # (B, h, w, 3)
         b = small.shape[0]
 
@@ -259,7 +281,7 @@ class SemanticDepthPipeline:
             points3d = camera_lib.reproject_disparity(disparity, cam)
             colors = frame_small[:, :, ::-1]
             road = pcl.from_dense(points3d, colors, road_mask)
-            road, road_plane = _denoise_road(road, cfg)
+            road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
             depth_rw = cfg.depth - cfg.rw_depth_offset
             left_rw, right_rw, found = pcl.road_endpoints(
                 road, depth_rw, cfg.rw_slab_halfwidth
@@ -313,7 +335,7 @@ class SemanticDepthPipeline:
                 if cfg.disparity_multiplier is not None
                 else float(frames.shape[2])
             )
-        frames = jnp.asarray(frames, jnp.float32)
+        frames = jnp.asarray(frames)
         return self._process_batch(
             self.fcn_params, self.mono_params, frames,
             jnp.float32(focal), jnp.float32(disparity_mult),
@@ -343,7 +365,7 @@ class SemanticDepthPipeline:
                 if cfg.disparity_multiplier is not None
                 else float(frame.shape[1])
             )
-        frame = jnp.asarray(frame, jnp.float32)
+        frame = jnp.asarray(frame)
         return self._process(
             self.fcn_params, self.mono_params, frame,
             jnp.float32(focal), jnp.float32(disparity_mult),

@@ -56,3 +56,38 @@ def test_radius_counts_exclude_invalid_columns():
     # with a huge radius every valid point sees exactly n valid points
     assert np.all(counts[:300] == 300)
     assert np.all(counts[300:] == 0)
+
+
+def test_grid_statistical_matches_exact_on_road_scene():
+    """On a dense back-projected road grid the windowed kNN must reproduce
+    the exact O(N^2) statistical filter."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import synthetic_road_scene
+
+    from semantic_depth_tpu import camera as camera_lib
+    from semantic_depth_tpu.config import CAMERA_MUNICH
+    import jax.numpy as jnp
+
+    disp, road_mask = synthetic_road_scene(CAMERA_MUNICH, h=128, w=256)
+    pts = camera_lib.reproject_disparity(jnp.asarray(disp), CAMERA_MUNICH)
+    valid = jnp.asarray(road_mask)
+    # knock some holes in the mask to stress sparse regions
+    rng = np.random.default_rng(0)
+    holes = jnp.asarray(rng.uniform(size=road_mask.shape) < 0.3)
+    valid = valid & ~holes
+
+    grid_valid = neighbors.statistical_outlier_filter_grid(
+        pts, valid, 10, 0.5, window=(5, 21)
+    )
+
+    flat = pcl.MaskedCloud(
+        xyz=pts.reshape(-1, 3), rgb=jnp.zeros((128 * 256, 3)), valid=valid.reshape(-1)
+    )
+    compacted = pcl.compact(flat, 8192)
+    exact = neighbors.statistical_outlier_filter(compacted, 10, 0.5, block_size=1024)
+
+    n_grid = int(jnp.sum(grid_valid))
+    n_exact = int(exact.count())
+    # identical keep-counts up to a tiny tolerance (window truncation)
+    assert abs(n_grid - n_exact) <= max(5, 0.005 * n_exact), (n_grid, n_exact)
