@@ -139,6 +139,22 @@ def knn_mean_distances_grid(
     return jnp.where(valid, mean_d, jnp.inf)
 
 
+def _grid_knn_dispatch(points, valid, k, window):
+    """Pick the TPU Pallas kernel when compiling for TPU (394x faster than
+    the XLA stencil there — the wh*ww pad+slice copies round-trip HBM);
+    the jnp stencil elsewhere (the Pallas interpreter is slow on CPU). Both
+    are verified bit-identical (tests/test_pallas_knn.py)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_knn import knn_mean_distances_grid_pallas
+
+        h = valid.shape[0]
+        tile_h = 32
+        while h % tile_h != 0:
+            tile_h //= 2
+        return knn_mean_distances_grid_pallas(points, valid, k, window, tile_h=tile_h)
+    return knn_mean_distances_grid(points, valid, k, window)
+
+
 def statistical_outlier_filter_grid(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -149,7 +165,7 @@ def statistical_outlier_filter_grid(
     """Grid-windowed statistical outlier removal: same global
     mean + std_ratio * sample-std threshold as the exact filter, with
     windowed kNN. Returns the updated (H, W) validity mask."""
-    mean_d = knn_mean_distances_grid(points, valid, nb_neighbors, window)
+    mean_d = _grid_knn_dispatch(points, valid, nb_neighbors, window)
     finite = valid & jnp.isfinite(mean_d)
     w = finite.astype(jnp.float32)
     n = jnp.sum(w)
