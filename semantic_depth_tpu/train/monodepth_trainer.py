@@ -179,3 +179,31 @@ class MonodepthTrainer:
         )
         self.step += 1
         return {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
+
+    # -- persistence (orbax step checkpoints + msgpack export) -------------
+    def save_msgpack(self, path: str) -> str:
+        from ..models import weights as weights_lib
+
+        return weights_lib.save_params(self.params, path)
+
+    def save_checkpoint(self, ckpt_dir: str) -> None:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{self.step}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.params, "step": self.step})
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, ckpt_dir: str, step: int) -> None:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, {"params": self.params, "step": 0})
+        self.params = restored["params"]
+        self.opt_state = self.tx.init(self.params)
+        self.step = int(restored["step"])

@@ -1,0 +1,122 @@
+"""Full geometry-chain equivalence: our fused masked-array chain vs the
+NumPy oracle chain (reference semantics) on a synthetic scene with road and
+two fences — the strongest no-weights proxy for the <=3 cm parity target
+(BASELINE.md): networks are bypassed, masks+disparity are shared inputs, and
+both implementations must agree on dist_rw and dist_f2f.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from semantic_depth_tpu import camera as camera_lib
+from semantic_depth_tpu import pipeline as pl
+from semantic_depth_tpu.config import CAMERA_MUNICH, munich_pipeline_config
+from semantic_depth_tpu.ops import pcl
+
+import oracles as o
+
+
+def synthetic_scene_with_fences(cam, h=256, w=512, road_halfwidth=4.0,
+                                fence_x=5.0, cam_height=1.5, seed=0):
+    """Ground plane y=-1.5 with road |X|<4; vertical fence planes at X=+-5
+    occupying the rows above the horizon."""
+    rng = np.random.default_rng(seed)
+    ys = np.arange(h, dtype=np.float64)[:, None]
+    xs = np.broadcast_to(np.arange(w, dtype=np.float64)[None, :], (h, w))
+
+    d_ground = np.broadcast_to((ys - cam.cy) * cam.baseline / cam_height, (h, w)).copy()
+    ground = d_ground > 1e-3
+
+    # fences: for pixel column x, a fence at X=+-fence_x has disparity
+    # d = (x - cx) * b / X  (valid where sign matches)
+    with np.errstate(divide="ignore"):
+        d_left = (xs - cam.cx) * cam.baseline / (-fence_x)
+        d_right = (xs - cam.cx) * cam.baseline / (fence_x)
+    fence_mask = np.zeros((h, w), bool)
+    d = np.where(ground, d_ground, 1e-3)
+    # above the horizon rows: put fences (choose the positive-disparity side)
+    sky = ~ground
+    d_f = np.where(d_left > 0, d_left, d_right)
+    usable = sky & (d_f > 0.5)
+    d = np.where(usable, d_f, d)
+    fence_mask |= usable
+    # also fence pixels below horizon but beyond the road edge
+    X_ground = (xs - cam.cx) * cam.baseline / np.where(ground, d_ground, np.inf)
+    road_mask = ground & (np.abs(X_ground) < road_halfwidth)
+    beyond = ground & (np.abs(X_ground) >= fence_x)
+    d = np.where(beyond, np.where(d_left > 0, d_left, d_right), d)
+    fence_mask |= beyond
+
+    d = d * (1.0 + rng.normal(0, 1e-3, size=d.shape))
+    return d.astype(np.float32), road_mask, fence_mask
+
+
+def oracle_full_chain(pts_flat, cols_flat, road_mask, fence_mask, cfg):
+    """The reference FrameProcessor geometry chain via the test oracles
+    (semantic_depth.py:206-334), minus the Open3D stages (checked separately
+    in test_neighbors)."""
+    road3d = pts_flat[road_mask.reshape(-1)]
+    road_c = cols_flat[road_mask.reshape(-1)]
+    road3d, road_c = o.o_keep_beyond(road3d, road_c, 2, 7.0)
+    road3d, road_c = o.o_mad_filter(road3d, road_c, 1, 15.0)
+    road3d, road_c = o.o_mad_filter(road3d, road_c, 0, 2.0)
+    road3d, road_c, road_plane = o.o_plane_inlier_filter(road3d, road_c, 1, 5.0)
+
+    left_rw, right_rw = o.o_road_endpoints(road3d, cfg.depth - 0.02)
+    dist_rw = abs(left_rw[0] - right_rw[0])
+
+    f3d = pts_flat[fence_mask.reshape(-1)]
+    fc = cols_flat[fence_mask.reshape(-1)]
+    f3d, fc = o.o_mad_filter(f3d, fc, 1, 5.0)
+    f3d, fc = o.o_threshold_abs(f3d, fc, 2, 35.0)
+    fl, flc, fr, frc = o.o_split_by_mean(f3d, fc)
+    fl, flc = o.o_mad_filter(fl, flc, 0, 5.0)
+    fl, flc, l_plane = o.o_plane_inlier_filter(fl, flc, 0, 1.0)
+    fr, frc = o.o_mad_filter(fr, frc, 0, 1.0)
+    fr, frc, r_plane = o.o_plane_inlier_filter(fr, frc, 0, 1.0)
+    lp = o.o_planes_intersection(road_plane, l_plane, cfg.depth)
+    rp = o.o_planes_intersection(road_plane, r_plane, cfg.depth)
+    dist_f2f = np.linalg.norm(lp - rp)
+    return dist_rw, dist_f2f
+
+
+def test_full_chain_matches_oracle_within_3cm():
+    cam = CAMERA_MUNICH
+    # disable the Open3D-replacement stages for this test (oracle brute-force
+    # O(N^2) at 131k points is infeasible; those stages have their own tests)
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        road=dataclasses.replace(
+            base.road, stat_nb_neighbors=2, stat_std_ratio=1e9, radius_nb_points=0,
+            radius=1e9,
+        )
+    )
+    disp, road_mask, fence_mask = synthetic_scene_with_fences(cam)
+    pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
+    colors = jnp.zeros_like(pts)
+
+    road = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
+    road, road_plane = pl._denoise_road(road, cfg, grid_hw=(256, 512))
+    left, right, found = pcl.road_endpoints(road, cfg.depth - cfg.rw_depth_offset,
+                                            cfg.rw_slab_halfwidth)
+    assert bool(found)
+    dist_rw = float(jnp.abs(left[0] - right[0]))
+
+    fence = pcl.from_dense(pts, colors, jnp.asarray(fence_mask))
+    *_, dist_f2f = pl._fence_f2f(fence, road_plane, cfg)
+    dist_f2f = float(dist_f2f)
+
+    pts_np = np.asarray(pts).reshape(-1, 3).astype(np.float64)
+    cols_np = np.zeros_like(pts_np)
+    ref_rw, ref_f2f = oracle_full_chain(pts_np, cols_np, road_mask, fence_mask, cfg)
+
+    # the BASELINE.md accuracy bar: <= 3 cm divergence from the reference chain
+    assert dist_rw == pytest.approx(ref_rw, abs=0.03), (dist_rw, ref_rw)
+    assert dist_f2f == pytest.approx(ref_f2f, abs=0.03), (dist_f2f, ref_f2f)
+    # and both should see the true geometry: road 8 m, fences 10 m apart
+    assert dist_rw == pytest.approx(8.0, abs=0.1)
+    assert dist_f2f == pytest.approx(10.0, abs=0.1)

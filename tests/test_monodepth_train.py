@@ -75,3 +75,46 @@ def test_monodepth_training_decreases_loss():
               for _ in range(8)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_monodepth_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    model = Monodepth(encoder="vgg", width_mult=0.0625)
+    trainer = MonodepthTrainer(
+        MonodepthTrainConfig(learning_rate=1e-3), model=model, input_hw=(128, 256)
+    )
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 1, (1, 128, 256, 3)).astype(np.float32))
+    right = jnp.asarray(np.roll(np.asarray(left), -3, axis=2))
+    trainer.train_batch(left, right)
+    trainer.save_checkpoint(str(tmp_path))
+    step = trainer.step
+
+    t2 = MonodepthTrainer(MonodepthTrainConfig(), model=model, input_hw=(128, 256))
+    t2.restore_checkpoint(str(tmp_path), step)
+    a = model.apply(trainer.params, left)[0]
+    b = model.apply(t2.params, left)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_monodepth_train_cli(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    for side in ("left", "right"):
+        (tmp_path / "stereo" / side).mkdir(parents=True)
+    for i in range(2):
+        base = rng.integers(0, 255, (64, 128, 3)).astype(np.uint8)
+        Image.fromarray(base).save(tmp_path / "stereo" / "left" / f"{i}.png")
+        Image.fromarray(np.roll(base, -3, axis=1)).save(
+            tmp_path / "stereo" / "right" / f"{i}.png"
+        )
+    from semantic_depth_tpu.cli import monodepth_train
+
+    monodepth_train.main(
+        ["--data_dir", str(tmp_path / "stereo"), "--epochs", "1", "--batch_size", "2",
+         "--input_height", "128", "--input_width", "256", "--dev_tiny",
+         "--model_dir", str(tmp_path / "out")]
+    )
+    assert (tmp_path / "out" / "monodepth.msgpack").exists()

@@ -77,3 +77,41 @@ def test_graft_entry_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_inference_matches_single_device():
+    import dataclasses
+
+    from semantic_depth_tpu.config import munich_pipeline_config
+    from semantic_depth_tpu.parallel.inference import ShardedPipeline
+    from semantic_depth_tpu.pipeline import SemanticDepthPipeline
+
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        input_height=128, input_width=256, approach="rw",
+        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    from semantic_depth_tpu.models import Monodepth
+
+    mono = Monodepth(encoder="vgg", width_mult=0.0625)
+    fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)))
+    mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3)))
+    pipe = SemanticDepthPipeline(cfg, fp, mp, fcn=fcn, mono=mono)
+
+    mesh = make_mesh(8, dp=8, tp=1)
+    sharded = ShardedPipeline(pipe, mesh)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(8, 256, 512, 3)).astype(np.uint8)
+    out_sharded = sharded.process_batch(frames)
+    out_single = pipe.process_batch(frames)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.disparity), np.asarray(out_single.disparity),
+        rtol=1e-5, atol=1e-5,
+    )
+    a = np.asarray(out_sharded.dist_rw)
+    b = np.asarray(out_single.dist_rw)
+    both_nan = np.isnan(a) & np.isnan(b)
+    np.testing.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-4)

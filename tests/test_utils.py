@@ -124,3 +124,18 @@ def test_native_ply_writer_builds():
 
     lib = get_library()
     assert lib is not None, "g++ toolchain expected in this image"
+
+
+def test_make_mockup_and_train_roundtrip(tmp_path):
+    """Mockup generator -> FCN trainer smoke: learnable synthetic scenes."""
+    from semantic_depth_tpu.utils.make_mockup import make_mockup
+
+    root = make_mockup(str(tmp_path), "mock", counts=(2, 1, 1), hw=(64, 128))
+    assert os.path.isdir(os.path.join(root, "leftImg8bit", "train", "mockup"))
+    from semantic_depth_tpu.train.data import SegmentationDataset
+
+    ds = SegmentationDataset(str(tmp_path), "mock", image_shape=(32, 64))
+    images, labels = next(iter(ds.batches(1, mode="train")))
+    assert images.shape == (1, 32, 64, 3)
+    # all three classes present across the scene
+    assert set(np.unique(np.argmax(labels, -1))) == {0, 1, 2}
