@@ -115,3 +115,19 @@ def test_sharded_inference_matches_single_device():
     b = np.asarray(out_single.dist_rw)
     both_nan = np.isnan(a) & np.isnan(b)
     np.testing.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-4)
+
+
+def test_graft_entry_traces():
+    """entry() must be jit-traceable with its example args (eval_shape only —
+    full-size nets are too slow to actually compile in CI)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    shapes = jax.eval_shape(fn, *args)
+    assert all(s.shape == () for s in shapes)
