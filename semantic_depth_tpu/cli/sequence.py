@@ -105,7 +105,11 @@ def main(argv=None):
     pending = []  # list of (output_name, original_hw, FrameOutputs)
     for path in frames:
         print(f"\n\nPROCESSING NEW FRAME! {path}\n")
-        frame = common.imread_bgr(path)
+        try:
+            frame = common.imread_bgr(path)
+        except Exception as e:  # corrupt/unreadable frame: log and continue
+            print(f"WARNING: skipping unreadable frame {path}: {e}")
+            continue
         out = pipe.process_frame(frame.astype(np.float32))
         output_name = os.path.splitext(os.path.basename(path))[0]
         pending.append((output_name, frame.shape[:2], out))

@@ -130,11 +130,19 @@ class FCNTrainer:
         """Epoch loop with per-epoch train/val loss + IoU curves
         (train_nn equivalent, fcn.py:260-378)."""
         cfg = self.config
+        try:  # progress bars like the reference's tqdm loops (fcn.py:285,339)
+            from tqdm import tqdm
+        except ImportError:  # pragma: no cover
+            tqdm = lambda it, **kw: it  # noqa: E731
         history = {"train_loss": [], "train_iou": [], "val_loss": [], "val_iou": []}
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
             losses, cms = [], []
-            for images, labels in dataset.batches(cfg.batch_size, mode="train"):
+            n_train = -(-dataset.num_images("train") // cfg.batch_size)
+            for images, labels in tqdm(
+                dataset.batches(cfg.batch_size, mode="train"),
+                desc=f"Epoch {epoch}: Train Batch", total=n_train, disable=not verbose,
+            ):
                 m = self.train_batch(images, labels)
                 losses.append(m["loss"])
                 cms.append(m["cm"])

@@ -121,3 +121,22 @@ def test_process_batch_matches_single():
         )
         a, b = float(batched.dist_rw[i]), float(single[i].dist_rw)
         assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-5)
+
+
+def test_export_roundtrip(tmp_path):
+    """AOT export (frozen-graph equivalent): serialized pipeline must produce
+    the same scalars without model code."""
+    from semantic_depth_tpu.export import export_pipeline, load_pipeline
+
+    pipe = tiny_pipeline(approach="rw")
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(256, 512, 3)).astype(np.float32)
+
+    path = export_pipeline(pipe, str(tmp_path / "pipeline.shlo"),
+                           frame_shape=(256, 512, 3))
+    call = load_pipeline(path)
+    got = call(jnp.asarray(frame), jnp.float32(380.0), jnp.float32(512.0))
+    want = pipe.process_frame(frame, focal=380.0, disparity_mult=512.0)
+    a, b = float(got[0]), float(want.dist_rw)
+    assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-6)
+    assert bool(got[2]) == bool(want.rw_found)
