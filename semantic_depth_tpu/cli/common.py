@@ -9,8 +9,7 @@ PIL is the fallback.
 from __future__ import annotations
 
 import os
-import time
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

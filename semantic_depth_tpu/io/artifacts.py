@@ -13,7 +13,7 @@ All output formats are byte-compatible with the reference writers:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

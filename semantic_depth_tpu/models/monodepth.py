@@ -22,7 +22,7 @@ static shapes; the whole pyramid is one XLA program.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

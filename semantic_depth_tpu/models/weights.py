@@ -23,7 +23,7 @@ Layout notes (verified by tests/test_weights.py against live TF):
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 from flax import serialization, traverse_util

@@ -18,7 +18,7 @@ cross-'dp' gradient all-reduce is inserted by XLA from the annotations.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ recompilation occurs between sweep points.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ jitted XLA program per step; Adam via optax.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, List, Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ import csv
 import os
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
