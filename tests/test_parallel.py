@@ -131,3 +131,19 @@ def test_graft_entry_traces():
     fn, args = mod.entry()
     shapes = jax.eval_shape(fn, *args)
     assert all(s.shape == () for s in shapes)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_dryrun_multichip_small_counts():
+    """The driver may probe various device counts; odd/small N must work."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry3", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(4)
+    mod.dryrun_multichip(2)
+    mod.dryrun_multichip(1)
