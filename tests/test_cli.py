@@ -85,3 +85,36 @@ def test_sequence_cli_runs_double_buffered(tmp_path, frame_dir, monkeypatch):
     head = open(plys / "test_1_rw.ply").read(200)
     assert head.startswith("ply\n")
     assert "element vertex" in head
+
+
+def test_munich_sweep_mode(tmp_path, monkeypatch):
+    """--input_frame='' runs the 5-image sweep over two focal lengths with
+    MAE data files and the best-focal report (semantic_depth.py:843-944)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1)
+    frames = tmp_path / "munich"
+    frames.mkdir()
+    for name in ["test_1.png", "test_2.png", "test_3.png", "test_4.png", "test_5.png"]:
+        img = rng.integers(0, 256, size=(96, 192, 3)).astype(np.uint8)
+        Image.fromarray(img).save(frames / name)
+
+    from semantic_depth_tpu.cli import semantic_depth as cli
+
+    cli.main(
+        [
+            "--input_frame", "",
+            "--input_folder", str(frames),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--results_dir", str(tmp_path / "results"),
+        ]
+    )
+    for f in ("380", "580"):
+        data = (tmp_path / "results" / f / "data.txt").read_text().splitlines()
+        assert len(data) == 6  # 5 frames + MAE row
+        assert all(len(row.split()) == 5 for row in data)
+    best = (tmp_path / "results" / "best_focal_lengths.txt").read_text()
+    assert best.startswith("Best f road's width:")
