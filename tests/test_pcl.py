@@ -171,3 +171,42 @@ def test_compact_truncates_overflow():
     cloud, pts, cols, _ = make_cloud(seed=9, n=100, capacity=256)
     out = pcl.compact(cloud, 64)
     assert int(out.count()) == 64
+
+
+def test_masked_median_radix_select_fuzz():
+    """The sort-free radix-select median must equal numpy exactly on
+    normal-range floats (XLA flushes subnormal results to zero, so values
+    below ~1e-37 are excluded — metric geometry never goes there)."""
+    rng = np.random.default_rng(0)
+    from semantic_depth_tpu.ops.pcl import masked_median
+
+    import jax.numpy as jnp
+
+    for trial in range(150):
+        n_cap = int(rng.integers(1, 200))
+        if trial % 3 == 0:
+            vals = rng.choice([0.0, -0.0, 1.5, -1.5, 42.0, -1e9, 3.14], size=n_cap)
+        else:
+            vals = rng.normal(scale=10.0 ** rng.integers(-3, 4), size=n_cap)
+        vals = vals.astype(np.float32)
+        valid = rng.uniform(size=n_cap) < rng.uniform(0.1, 1.0)
+        if not valid.any():
+            continue
+        want = float(np.median(vals[valid]))
+        for impl in (pcl._masked_median_radix, pcl._masked_median_sort):
+            got = float(impl(jnp.asarray(vals), jnp.asarray(valid)))
+            assert got == want, (impl.__name__, trial, got, want)
+
+
+def test_masked_kth_smallest_matches_sort():
+    from semantic_depth_tpu.ops.pcl import masked_kth_smallest
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=500).astype(np.float32)
+    valid = rng.uniform(size=500) < 0.6
+    sorted_valid = np.sort(vals[valid])
+    for k in [0, 1, len(sorted_valid) // 2, len(sorted_valid) - 1]:
+        got = float(masked_kth_smallest(jnp.asarray(vals), jnp.asarray(valid), jnp.int32(k)))
+        assert got == float(sorted_valid[k]), k
