@@ -96,12 +96,22 @@ def _monodepth_decoder_order(n_ups: int) -> List[str]:
 
 
 def _monodepth_resnet_encoder_order() -> List[str]:
+    """Encoder conv creation order for the resnet50 variant, including the
+    OPTIONAL projection shortcuts: a resconv projects iff its input channel
+    count != 4*num_layers or it strides (models/monodepth.py _resconv —
+    matching the upstream rule). Channel bookkeeping below tracks that."""
     names = ["enc1"]
-    for bi, (blk, n) in enumerate([("res2", 3), ("res3", 4), ("res4", 6), ("res5", 3)]):
+    in_ch = 64  # pool1 output channels
+    for blk, num_layers, n in [("res2", 64, 3), ("res3", 128, 4), ("res4", 256, 6),
+                               ("res5", 512, 3)]:
         for i in range(n):
-            # creation order inside resconv: c1, c2, c3, then shortcut conv
+            stride2 = i == n - 1  # last resconv of each block strides
+            do_proj = (in_ch != 4 * num_layers) or stride2
             base = f"{blk}_{i}"
-            names += [f"{base}_c1", f"{base}_c2", f"{base}_c3", f"{base}_sc"]
+            names += [f"{base}_c1", f"{base}_c2", f"{base}_c3"]
+            if do_proj:
+                names.append(f"{base}_sc")
+            in_ch = 4 * num_layers
     return names
 
 
@@ -132,15 +142,11 @@ def convert_monodepth_checkpoint(ckpt_path: str, encoder: str = "vgg") -> Dict:
     elif encoder == "resnet50":
         enc_names = _monodepth_resnet_encoder_order()
         n_ups = 6
-        # projection shortcuts only exist where do_proj was true upstream;
-        # filter our name list down to layers present in the checkpoint
         n_enc = len(scope_layers("model/encoder"))
         if n_enc != len(enc_names):
-            # drop _sc entries for non-projecting blocks, in order
-            raise NotImplementedError(
-                "resnet50 checkpoint has optional projection shortcuts; "
-                f"expected {len(enc_names)} encoder convs, found {n_enc}. "
-                "Extend the order list with the checkpoint's block layout."
+            raise ValueError(
+                f"resnet50 checkpoint has {n_enc} encoder convs; expected "
+                f"{len(enc_names)} — not a monodepth resnet50 checkpoint?"
             )
     else:
         raise ValueError(encoder)

@@ -158,3 +158,37 @@ def test_save_load_roundtrip(tmp_path, mono_tiny):
     a = model.apply(params, x)[0]
     b = model.apply(loaded, x)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_monodepth_resnet50_converter_maps_all_layers(tmp_path):
+    """The resnet50 order list (with optional projection shortcuts) must
+    exactly cover the module's parameter tree."""
+    model = Monodepth(encoder="resnet50", width_mult=0.0625)
+    x = jnp.zeros((2, 128, 256, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+
+    enc_order = W._monodepth_resnet_encoder_order()
+    dec_order = W._monodepth_decoder_order(6)
+    assert sorted(enc_order + dec_order) == sorted(p.keys())
+
+    rng = np.random.default_rng(5)
+    var_specs = {}
+    for scope, order in (("model/encoder", enc_order), ("model/decoder", dec_order)):
+        for i, our in enumerate(order):
+            suffix = "" if i == 0 else f"_{i}"
+            var_specs[f"{scope}/Conv{suffix}/weights"] = rng.normal(
+                size=np.asarray(p[our]["kernel"]).shape
+            ).astype(np.float32)
+            var_specs[f"{scope}/Conv{suffix}/biases"] = rng.normal(
+                size=np.asarray(p[our]["bias"]).shape
+            ).astype(np.float32)
+    ckpt = _write_tf1_checkpoint(tmp_path, var_specs)
+    converted = W.convert_monodepth_checkpoint(ckpt, encoder="resnet50")
+    grafted = W.as_jax_params(params, converted)
+    np.testing.assert_array_equal(
+        np.asarray(grafted["params"]["res2_0_sc"]["kernel"]),
+        var_specs[f"model/encoder/Conv_{enc_order.index('res2_0_sc')}/weights"],
+    )
+    disps = model.apply(grafted, x)
+    assert disps[0].shape == (2, 128, 256, 2)
