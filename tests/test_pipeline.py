@@ -140,3 +140,24 @@ def test_export_roundtrip(tmp_path):
     a, b = float(got[0]), float(want.dist_rw)
     assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-6)
     assert bool(got[2]) == bool(want.rw_found)
+
+
+def test_pipeline_resnet50_encoder():
+    """Pipeline with the monodepth resnet50 encoder variant (reference
+    --monodepth_encoder=resnet50, semantic_depth.py:721-722)."""
+    import jax
+
+    cfg = munich_pipeline_config(
+        input_height=128, input_width=256, approach="rw",
+        road=dataclasses.replace(munich_pipeline_config().road, neighbor_capacity=2048),
+        monodepth=dataclasses.replace(munich_pipeline_config().monodepth, encoder="resnet50"),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    mono = Monodepth(encoder="resnet50", width_mult=0.0625)
+    fcn_params = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)))
+    mono_params = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3)))
+    pipe = pl.SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
+    frame = np.random.default_rng(0).integers(0, 256, (256, 512, 3)).astype(np.uint8)
+    out = pipe.process_frame(frame)
+    assert out.disparity.shape == (128, 256)
+    float(out.dist_rw)
