@@ -76,6 +76,59 @@ def _knn_kernel(points_ref, valid_ref, out_ref, *, k: int, wh: int, ww: int,
     out_ref[:] = jnp.where(cv > 0, mean_d, inf)
 
 
+def _knn_kernel_hbm(points_ref, valid_ref, out_ref, pts_vmem, val_vmem, sems, *,
+                    k: int, wh: int, ww: int, tile_h: int, w: int):
+    """Large-image variant: inputs stay in HBM; each program DMAs its halo
+    slab into VMEM scratch (double the slab would enable prefetch overlap;
+    the compute per tile already dwarfs the copy)."""
+    i = pl.program_id(0)
+    slab_h = tile_h + wh - 1
+    row0 = i * tile_h
+    cp_pts = pltpu.make_async_copy(
+        points_ref.at[:, pl.ds(row0, slab_h), :], pts_vmem, sems.at[0]
+    )
+    cp_val = pltpu.make_async_copy(
+        valid_ref.at[pl.ds(row0, slab_h), :], val_vmem, sems.at[1]
+    )
+    cp_pts.start()
+    cp_val.start()
+    cp_pts.wait()
+    cp_val.wait()
+
+    ph, pw = wh // 2, ww // 2
+    px, py, pz = pts_vmem[0], pts_vmem[1], pts_vmem[2]
+    vv = val_vmem[:]
+    cx = px[ph : ph + tile_h, pw : pw + w]
+    cy = py[ph : ph + tile_h, pw : pw + w]
+    cz = pz[ph : ph + tile_h, pw : pw + w]
+    cv = vv[ph : ph + tile_h, pw : pw + w]
+
+    inf = jnp.float32(jnp.inf)
+    buf = [jnp.full((tile_h, w), inf, jnp.float32) for _ in range(k)]
+    for dy in range(wh):
+        for dx in range(ww):
+            sx = px[dy : dy + tile_h, dx : dx + w]
+            sy = py[dy : dy + tile_h, dx : dx + w]
+            sz = pz[dy : dy + tile_h, dx : dx + w]
+            sv = vv[dy : dy + tile_h, dx : dx + w]
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2 + (cz - sz) ** 2
+            cand = jnp.where(sv > 0, d2, inf)
+            for j in range(k):
+                lo = jnp.minimum(buf[j], cand)
+                hi = jnp.maximum(buf[j], cand)
+                buf[j] = lo
+                cand = hi
+    acc = jnp.zeros((tile_h, w), jnp.float32)
+    for j in range(k):
+        acc = acc + jnp.sqrt(buf[j])
+    out_ref[:] = jnp.where(cv > 0, acc / jnp.float32(k), inf)
+
+
+# Budget for keeping the padded planes fully VMEM-resident (bytes). Above
+# this the HBM + per-tile-DMA variant is used.
+_VMEM_RESIDENT_BUDGET = 8 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("k", "window", "tile_h"))
 def knn_mean_distances_grid_pallas(
     points: jnp.ndarray,
@@ -88,6 +141,8 @@ def knn_mean_distances_grid_pallas(
 
     points: (H, W, 3) f32; valid: (H, W) bool. H must be a multiple of
     tile_h. Returns (H, W) f32 mean kNN distance (+inf where invalid).
+    Small images keep all planes VMEM-resident; large ones (full-res
+    1024x2048) stream halo slabs from HBM per row tile.
     """
     h, w = valid.shape
     wh, ww = window
@@ -102,16 +157,41 @@ def knn_mean_distances_grid_pallas(
     vmask = jnp.pad(valid.astype(jnp.float32), ((ph, ph), (pw, pw)))
 
     n_tiles = h // tile_h
-    kernel = functools.partial(_knn_kernel, k=k, wh=wh, ww=ww, tile_h=tile_h, w=w)
-    out = pl.pallas_call(
+    interpret = jax.default_backend() != "tpu"
+    resident_bytes = 4 * planes.size + 4 * vmask.size
+
+    if resident_bytes <= _VMEM_RESIDENT_BUDGET:
+        kernel = functools.partial(_knn_kernel, k=k, wh=wh, ww=ww, tile_h=tile_h, w=w)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # full planes resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            interpret=interpret,
+        )(planes, vmask)
+
+    slab_h = tile_h + wh - 1
+    wp = w + ww - 1
+    kernel = functools.partial(
+        _knn_kernel_hbm, k=k, wh=wh, ww=ww, tile_h=tile_h, w=w
+    )
+    return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full planes resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        scratch_shapes=[
+            pltpu.VMEM((3, slab_h, wp), jnp.float32),
+            pltpu.VMEM((slab_h, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
     )(planes, vmask)
-    return out

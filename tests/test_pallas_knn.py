@@ -37,3 +37,30 @@ def test_pallas_knn_sparse_windows_inf():
     )
     assert np.isinf(got[5, 5])
     assert np.isinf(got[0, 0])
+
+
+def test_pallas_knn_hbm_variant_matches_reference():
+    """Force the HBM-streaming variant (large-image path) and check parity."""
+    from semantic_depth_tpu.ops import pallas_knn
+
+    rng = np.random.default_rng(2)
+    h, w = 64, 128
+    pts = rng.normal(size=(h, w, 3)).astype(np.float32)
+    valid = rng.uniform(size=(h, w)) < 0.7
+    ref = np.asarray(knn_mean_distances_grid(jnp.asarray(pts), jnp.asarray(valid), 10, (5, 21)))
+
+    orig = pallas_knn._VMEM_RESIDENT_BUDGET
+    pallas_knn._VMEM_RESIDENT_BUDGET = 0  # force the DMA path
+    pallas_knn.knn_mean_distances_grid_pallas.clear_cache()
+    try:
+        got = np.asarray(
+            pallas_knn.knn_mean_distances_grid_pallas(
+                jnp.asarray(pts), jnp.asarray(valid), 10, (5, 21), tile_h=16
+            )
+        )
+    finally:
+        pallas_knn._VMEM_RESIDENT_BUDGET = orig
+        pallas_knn.knn_mean_distances_grid_pallas.clear_cache()
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), finite)
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-5, atol=1e-6)
