@@ -77,18 +77,19 @@ def _knn_kernel(points_ref, valid_ref, out_ref, *, k: int, wh: int, ww: int,
 
 
 def _knn_kernel_hbm(points_ref, valid_ref, out_ref, pts_vmem, val_vmem, sems, *,
-                    k: int, wh: int, ww: int, tile_h: int, w: int):
+                    k: int, wh: int, ww: int, tile_h: int, w: int, slab8: int):
     """Large-image variant: inputs stay in HBM; each program DMAs its halo
     slab into VMEM scratch (double the slab would enable prefetch overlap;
-    the compute per tile already dwarfs the copy)."""
+    the compute per tile already dwarfs the copy). The copied slab height is
+    rounded up to 8 rows (Mosaic HBM-slice tiling constraint); the surplus
+    rows are padding the kernel never reads."""
     i = pl.program_id(0)
-    slab_h = tile_h + wh - 1
-    row0 = i * tile_h
+    row0 = i * tile_h  # 8-aligned since tile_h % 8 == 0
     cp_pts = pltpu.make_async_copy(
-        points_ref.at[:, pl.ds(row0, slab_h), :], pts_vmem, sems.at[0]
+        points_ref.at[:, pl.ds(row0, slab8), :], pts_vmem, sems.at[0]
     )
     cp_val = pltpu.make_async_copy(
-        valid_ref.at[pl.ds(row0, slab_h), :], val_vmem, sems.at[1]
+        valid_ref.at[pl.ds(row0, slab8), :], val_vmem, sems.at[1]
     )
     cp_pts.start()
     cp_val.start()
@@ -174,10 +175,21 @@ def knn_mean_distances_grid_pallas(
             interpret=interpret,
         )(planes, vmask)
 
+    if tile_h % 8 != 0:
+        raise ValueError(f"HBM-streaming path needs tile_h % 8 == 0, got {tile_h}")
     slab_h = tile_h + wh - 1
-    wp = w + ww - 1
+    slab8 = -(-slab_h // 8) * 8  # Mosaic: HBM row slices must be 8-aligned
+    wp = -(-(w + ww - 1) // 128) * 128  # ... and widths 128-lane-aligned
+    # grow padding so the last tile's aligned slab stays in range and the
+    # width hits the lane boundary
+    need_rows = (n_tiles - 1) * tile_h + slab8
+    extra_rows = max(0, need_rows - planes.shape[1])
+    extra_cols = wp - planes.shape[2]
+    if extra_rows or extra_cols:
+        planes = jnp.pad(planes, ((0, 0), (0, extra_rows), (0, extra_cols)))
+        vmask = jnp.pad(vmask, ((0, extra_rows), (0, extra_cols)))
     kernel = functools.partial(
-        _knn_kernel_hbm, k=k, wh=wh, ww=ww, tile_h=tile_h, w=w
+        _knn_kernel_hbm, k=k, wh=wh, ww=ww, tile_h=tile_h, w=w, slab8=slab8
     )
     return pl.pallas_call(
         kernel,
@@ -189,8 +201,8 @@ def knn_mean_distances_grid_pallas(
         out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, slab_h, wp), jnp.float32),
-            pltpu.VMEM((slab_h, wp), jnp.float32),
+            pltpu.VMEM((3, slab8, wp), jnp.float32),
+            pltpu.VMEM((slab8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
