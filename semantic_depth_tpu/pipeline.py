@@ -81,12 +81,17 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
     cloud, road_plane = pcl.plane_inlier_filter(cloud, rc.plane.axis, rc.plane.threshold)
     if rc.stat_mode == "grid" and grid_hw is not None:
         h, w = grid_hw
+        # The window is tuned for 256x512 (matches the exact filter to
+        # <0.1% there); at finer resolutions the same METRIC neighborhood
+        # spans proportionally more pixels, so scale it (kept odd).
+        wh = max(3, int(round(rc.stat_window[0] * h / 256)) | 1)
+        ww = max(3, int(round(rc.stat_window[1] * w / 512)) | 1)
         new_valid = neighbors.statistical_outlier_filter_grid(
             cloud.xyz.reshape(h, w, 3),
             cloud.valid.reshape(h, w),
             rc.stat_nb_neighbors,
             rc.stat_std_ratio,
-            rc.stat_window,
+            (wh, ww),
         )
         cloud = cloud.with_mask(new_valid.reshape(-1))
         cloud = pcl.compact(cloud, rc.neighbor_capacity)
