@@ -161,3 +161,17 @@ def test_pipeline_resnet50_encoder():
     out = pipe.process_frame(frame)
     assert out.disparity.shape == (128, 256)
     float(out.dist_rw)
+
+
+def test_pipeline_is_deterministic():
+    """Same frame -> bit-identical outputs across calls (no hidden state)."""
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, size=(256, 512, 3)).astype(np.uint8)
+    pipe = tiny_pipeline(approach="rw")
+    a = pipe.process_frame(frame)
+    b = pipe.process_frame(frame)
+    np.testing.assert_array_equal(np.asarray(a.disparity), np.asarray(b.disparity))
+    np.testing.assert_array_equal(np.asarray(a.road_mask), np.asarray(b.road_mask))
+    np.testing.assert_array_equal(
+        np.asarray(a.road_cloud.valid), np.asarray(b.road_cloud.valid)
+    )
