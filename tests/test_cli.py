@@ -118,3 +118,26 @@ def test_munich_sweep_mode(tmp_path, monkeypatch):
         assert all(len(row.split()) == 5 for row in data)
     best = (tmp_path / "results" / "best_focal_lengths.txt").read_text()
     assert best.startswith("Best f road's width:")
+
+
+def test_sequence_skips_corrupt_frames(tmp_path, frame_dir, monkeypatch):
+    """Fault injection: an unreadable frame is skipped with a warning; the
+    stream continues (the reference would crash)."""
+    monkeypatch.chdir(tmp_path)
+    (frame_dir / "test_1a_corrupt.png").write_bytes(b"not a png at all")
+    from semantic_depth_tpu.cli import sequence as cli
+
+    cli.main(
+        [
+            "--input_folder", str(frame_dir / "*.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--results_dir", str(tmp_path / "results"),
+            "--output_name", "seq2",
+        ]
+    )
+    imgs = tmp_path / "results" / "seq2" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
