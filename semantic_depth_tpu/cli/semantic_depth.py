@@ -66,6 +66,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_frozen", action="store_true", help="(compat no-op)")
     p.add_argument("--use_xla", action="store_true", help="(compat no-op: always XLA)")
     p.add_argument("--CUDA_DEVICE_NUMBER", default="0", help="(compat no-op)")
+    p.add_argument("--profile_stages", action="store_true",
+                   help="run stage-by-stage with device sync between stages so "
+                        "_times.txt carries real per-stage wall times (slower)")
     p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -94,7 +97,11 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
     t_read = time.time() - tic
 
     tic = time.time()
-    out = pipe.process_frame(frame.astype(np.float32), focal=focal)
+    stage_times = None
+    if getattr(args, "profile_stages", False):
+        out, stage_times = pipe.process_frame_staged(frame.astype(np.float32), focal=focal)
+    else:
+        out = pipe.process_frame(frame.astype(np.float32), focal=focal)
     dist_rw = float(out.dist_rw)
     dist_f2f = float(out.dist_f2f)
     t_device = time.time() - tic
@@ -108,12 +115,16 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
         common.save_frame_artifacts(out, cfg, output_name, frame, args.is_city)
 
     t_global = time.time() - tic_global
-    # The fused program has no per-stage host boundaries to time; read and
-    # the single device program are the real stages. Stage labels are kept
-    # for output-format parity (semantic_depth.py:445-454).
-    art.write_times(
-        output_name,
-        {
+    if stage_times is not None:
+        # real per-stage wall times (stage-by-stage mode)
+        times = dict(stage_times)
+        times["read"] = t_read + times.get("read", 0.0)
+        times["global"] = t_global
+    else:
+        # The fused program has no per-stage host boundaries to time; read
+        # and the single device program are the real stages. Stage labels
+        # are kept for output-format parity (semantic_depth.py:445-454).
+        times = {
             "read": t_read,
             "semantic": t_device,
             "disparity": 0.0,
@@ -123,8 +134,8 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
             "fences": 0.0,
             "f2f": 0.0,
             "global": t_global,
-        },
-    )
+        }
+    art.write_times(output_name, times)
     art.write_distances(output_name, dist_rw, dist_f2f)
     return dist_rw, dist_f2f
 

@@ -346,6 +346,161 @@ class SemanticDepthPipeline:
         )
 
     # ------------------------------------------------------------------
+    def process_frame_staged(
+        self,
+        frame,
+        focal: Optional[float] = None,
+        disparity_mult: Optional[float] = None,
+    ):
+        """Stage-by-stage execution with host synchronization between stages,
+        for real per-stage wall times in the reference's ``_times.txt``
+        format (semantic_depth.py:100-454 timed every stage around host
+        boundaries; the fused program has none, so this mode deliberately
+        splits it). Slower than process_frame — each stage pays a dispatch +
+        sync round trip; use for profiling, not serving.
+
+        Returns (FrameOutputs, times) where times has the reference's stage
+        keys: semantic, disparity, to3D, road, rw, fences, f2f.
+        """
+        import time as _time
+
+        cfg = self.config
+        h, w = cfg.input_height, cfg.input_width
+        if focal is None:
+            focal = cfg.camera.focal
+        if disparity_mult is None:
+            disparity_mult = (
+                cfg.disparity_multiplier
+                if cfg.disparity_multiplier is not None
+                else float(frame.shape[1])
+            )
+        if not hasattr(self, "_stages"):
+            self._build_stages()
+        S = self._stages
+        times = {}
+        frame = jnp.asarray(frame)
+        focal = jnp.float32(focal)
+        mult = jnp.float32(disparity_mult)
+
+        def sync(x):
+            jax.block_until_ready(x)
+            # block_until_ready is unreliable on some remote backends; a tiny
+            # fetch guarantees completion
+            jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+            return x
+
+        t0 = _time.time()
+        frame_small = sync(S["resize"](frame))
+        times["read"] = _time.time() - t0  # device resize ~ the read+resize slot
+
+        t0 = _time.time()
+        road_mask, fence_mask = sync(S["segment"](self.fcn_params, frame_small))
+        times["semantic"] = _time.time() - t0
+
+        t0 = _time.time()
+        disparity = sync(S["disparity"](self.mono_params, frame_small, mult))
+        times["disparity"] = _time.time() - t0
+
+        t0 = _time.time()
+        points3d = sync(S["to3d"](disparity, focal))
+        times["to3D"] = _time.time() - t0
+
+        t0 = _time.time()
+        road_cloud, road_plane = sync(S["road"](points3d, frame_small, road_mask))
+        times["road"] = _time.time() - t0
+
+        t0 = _time.time()
+        left_rw, right_rw, found, dist_rw = sync(S["rw"](road_cloud))
+        times["rw"] = _time.time() - t0
+
+        nan3 = jnp.full((3,), jnp.nan, jnp.float32)
+        nan4 = jnp.full((4,), jnp.nan, jnp.float32)
+        if cfg.approach == "both":
+            t0 = _time.time()
+            fl_valid, fr_valid, lplane, rplane = sync(
+                S["fences"](points3d, frame_small, fence_mask)
+            )
+            times["fences"] = _time.time() - t0
+            t0 = _time.time()
+            left_f2f, right_f2f, dist_f2f = sync(S["f2f"](road_plane, lplane, rplane))
+            times["f2f"] = _time.time() - t0
+        else:
+            times["fences"] = times["f2f"] = 0.0
+            fl_valid = fr_valid = jnp.zeros((h * w,), bool)
+            lplane = rplane = nan4
+            left_f2f = right_f2f = nan3
+            dist_f2f = jnp.float32(jnp.nan)
+
+        overlay = S["overlay"](frame_small, road_mask, fence_mask)
+        out = FrameOutputs(
+            dist_rw=dist_rw, dist_f2f=dist_f2f, rw_found=found,
+            left_pt_rw=left_rw, right_pt_rw=right_rw,
+            left_pt_f2f=left_f2f, right_pt_f2f=right_f2f,
+            road_plane=road_plane, fence_left_plane=lplane,
+            fence_right_plane=rplane, road_mask=road_mask,
+            fence_mask=fence_mask, disparity=disparity, points3d=points3d,
+            colors=frame_small[:, :, ::-1], overlay_small=overlay,
+            frame_small=frame_small, road_cloud=road_cloud,
+            fence_left_valid=fl_valid, fence_right_valid=fr_valid,
+        )
+        return out, times
+
+    def _build_stages(self):
+        cfg = self.config
+        h, w = cfg.input_height, cfg.input_width
+
+        def to3d(disparity, focal):
+            cam = dataclasses.replace(cfg.camera, focal=focal)
+            return camera_lib.reproject_disparity(disparity, cam)
+
+        def road_stage(points3d, frame_small, road_mask):
+            colors = frame_small[:, :, ::-1]
+            road = pcl.from_dense(points3d, colors, road_mask)
+            return _denoise_road(road, cfg, grid_hw=(h, w))
+
+        def rw_stage(road_cloud):
+            depth_rw = cfg.depth - cfg.rw_depth_offset
+            left, right, found = pcl.road_endpoints(road_cloud, depth_rw,
+                                                    cfg.rw_slab_halfwidth)
+            return left, right, found, jnp.abs(left[0] - right[0])
+
+        def fences_stage(points3d, frame_small, fence_mask):
+            colors = frame_small[:, :, ::-1]
+            fence = pcl.from_dense(points3d, colors, fence_mask)
+            fc = cfg.fence
+            fence = pcl.mad_filter(fence, fc.mad_y.axis, fc.mad_y.threshold)
+            fence = pcl.threshold_abs(fence, 2, fc.z_abs_threshold)
+            left, right = pcl.split_by_mean(fence, 0)
+            left = pcl.mad_filter(left, fc.mad_x_left.axis, fc.mad_x_left.threshold)
+            left, lplane = pcl.plane_inlier_filter(left, fc.plane_left.axis,
+                                                   fc.plane_left.threshold)
+            right = pcl.mad_filter(right, fc.mad_x_right.axis, fc.mad_x_right.threshold)
+            right, rplane = pcl.plane_inlier_filter(right, fc.plane_right.axis,
+                                                    fc.plane_right.threshold)
+            return left.valid, right.valid, lplane, rplane
+
+        def f2f_stage(road_plane, lplane, rplane):
+            lp = pcl.planes_intersection_at_depth(road_plane, lplane, cfg.depth)
+            rp = pcl.planes_intersection_at_depth(road_plane, rplane, cfg.depth)
+            return lp, rp, pcl.distance_3d(lp, rp)
+
+        self._stages = {
+            "resize": jax.jit(lambda f: resize_clip_u8(f.astype(jnp.float32), (h, w))),
+            "segment": jax.jit(lambda p, fs: self.segment(p, fs)[:2]),
+            "disparity": jax.jit(self.disparity),
+            "to3d": jax.jit(to3d),
+            "road": jax.jit(road_stage),
+            "rw": jax.jit(rw_stage),
+            "fences": jax.jit(fences_stage),
+            "f2f": jax.jit(f2f_stage),
+            "overlay": jax.jit(
+                lambda fs, rm, fm: segmentation_overlay(
+                    fs, rm, fm, cfg.segmenter.road_rgba, cfg.segmenter.fence_rgba
+                )
+            ),
+        }
+
+    # ------------------------------------------------------------------
     def process_frame(
         self,
         frame,

@@ -141,3 +141,29 @@ def test_sequence_skips_corrupt_frames(tmp_path, frame_dir, monkeypatch):
     )
     imgs = tmp_path / "results" / "seq2" / "result_sequence_imgs"
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+
+
+def test_profile_stages_times_file(tmp_path, frame_dir, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import semantic_depth as cli
+
+    cli.main(
+        [
+            "--input_frame", str(frame_dir / "test_1.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--profile_stages",
+            "--results_dir", str(tmp_path / "results"),
+        ]
+    )
+    times = (tmp_path / "results" / "test_1" / "test_1_output_times.txt").read_text()
+    lines = dict(
+        (ln.split(":")[0], float(ln.split(":")[1])) for ln in times.splitlines()
+    )
+    # staged mode must produce nonzero per-stage wall times
+    assert lines["Time semantic"] > 0
+    assert lines["Time disparity"] > 0
+    assert lines["Time road"] > 0
