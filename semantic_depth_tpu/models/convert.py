@@ -33,6 +33,8 @@ def main(argv=None):
                    help="TF checkpoint prefix or directory (tf.train.latest_checkpoint)")
     p.add_argument("--out", required=True, help="output .msgpack path")
     p.add_argument("--encoder", default="vgg", help="monodepth encoder: vgg | resnet50")
+    p.add_argument("--use_deconv", action="store_true",
+                   help="checkpoint was trained with the transposed-conv decoder")
     p.add_argument("--num_classes", type=int, default=3)
     p.add_argument("--input_height", type=int, default=256)
     p.add_argument("--input_width", type=int, default=512)
@@ -54,9 +56,11 @@ def main(argv=None):
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
         converted = W.convert_fcn_checkpoint(ckpt)
     else:
-        model = Monodepth(encoder=args.encoder)
+        model = Monodepth(encoder=args.encoder, use_deconv=args.use_deconv)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32))
-        converted = W.convert_monodepth_checkpoint(ckpt, encoder=args.encoder)
+        converted = W.convert_monodepth_checkpoint(
+            ckpt, encoder=args.encoder, use_deconv=args.use_deconv
+        )
 
     params = W.as_jax_params(template, converted)
     W.save_params(params, args.out)

@@ -51,6 +51,10 @@ class Monodepth(nn.Module):
 
     encoder: str = "vgg"  # 'vgg' | 'resnet50'
     compute_dtype: Any = jnp.float32
+    # monodepth_parameters.use_deconv (semantic_depth.py:618 passes False):
+    # False -> nearest-neighbor x2 + conv; True -> pad + stride-2 transposed
+    # conv + crop, per the published architecture.
+    use_deconv: bool = False
     # Test-scale knob; 1.0 matches the reference network exactly.
     width_mult: float = 1.0
 
@@ -101,7 +105,20 @@ class Monodepth(nn.Module):
         return (0.3 * d).astype(jnp.float32)
 
     def _upconv(self, x, ch, name):
+        if self.use_deconv:
+            return self._deconv(x, ch, 3, name)
         return self._conv(_upsample_nn(x), ch, 3, 1, name)
+
+    def _deconv(self, x, ch, k, name):
+        """Published deconv variant: pad 1, stride-2 transposed conv (SAME,
+        gradient-of-conv semantics like TF), crop [3:-1] — net 2x upsample."""
+        ch = self._ch(ch)
+        p_x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = nn.ConvTranspose(
+            ch, (k, k), strides=(2, 2), padding="SAME", transpose_kernel=True,
+            dtype=self.compute_dtype, name=name,
+        )(p_x)
+        return nn.elu(y[:, 3:-1, 3:-1, :])
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:

@@ -115,8 +115,14 @@ def _monodepth_resnet_encoder_order() -> List[str]:
     return names
 
 
-def convert_monodepth_checkpoint(ckpt_path: str, encoder: str = "vgg") -> Dict:
-    """TF1 monodepth checkpoint -> flax params dict for models.Monodepth."""
+def convert_monodepth_checkpoint(
+    ckpt_path: str, encoder: str = "vgg", use_deconv: bool = False
+) -> Dict:
+    """TF1 monodepth checkpoint -> flax params dict for models.Monodepth.
+
+    use_deconv: set for checkpoints trained with the transposed-conv decoder
+    (slim auto-names those ``Conv2d_transpose{_i}`` with independent
+    numbering from the regular ``Conv{_i}`` sequence)."""
     tf_vars = _read_tf_checkpoint(ckpt_path)
     names = list(tf_vars)
 
@@ -125,11 +131,11 @@ def convert_monodepth_checkpoint(ckpt_path: str, encoder: str = "vgg") -> Dict:
 
     params: Dict[str, Dict[str, np.ndarray]] = {}
 
-    def take(scope: str, slim_idx: int, our_name: str, has_bias: bool = True):
+    def take(scope: str, slim_idx: int, our_name: str, op: str = "Conv"):
         suffix = "" if slim_idx == 0 else f"_{slim_idx}"
-        w = tf_vars[f"{scope}/Conv{suffix}/weights"]
+        w = tf_vars[f"{scope}/{op}{suffix}/weights"]
         entry = {"kernel": w}
-        bias_name = f"{scope}/Conv{suffix}/biases"
+        bias_name = f"{scope}/{op}{suffix}/biases"
         if bias_name in tf_vars:
             entry["bias"] = tf_vars[bias_name]
         else:
@@ -153,8 +159,18 @@ def convert_monodepth_checkpoint(ckpt_path: str, encoder: str = "vgg") -> Dict:
 
     for idx, our in enumerate(enc_names):
         take("model/encoder", idx, our)
-    for idx, our in enumerate(_monodepth_decoder_order(n_ups)):
-        take("model/decoder", idx, our)
+    if use_deconv:
+        conv_idx = deconv_idx = 0
+        for our in _monodepth_decoder_order(n_ups):
+            if our.startswith("upconv"):
+                take("model/decoder", deconv_idx, our, op="Conv2d_transpose")
+                deconv_idx += 1
+            else:
+                take("model/decoder", conv_idx, our)
+                conv_idx += 1
+    else:
+        for idx, our in enumerate(_monodepth_decoder_order(n_ups)):
+            take("model/decoder", idx, our)
 
     return {"params": params}
 

@@ -68,3 +68,15 @@ def test_flip_average_postprocess_matches_numpy_oracle():
     r_mask = np.fliplr(l_mask)
     want = r_mask * l_disp + l_mask * r_disp + (1.0 - l_mask - r_mask) * m_disp
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_monodepth_deconv_variant_shapes():
+    """use_deconv=True decoder (pad + stride-2 transposed conv + crop) keeps
+    the pyramid geometry identical to the upsample+conv default."""
+    model = Monodepth(encoder="vgg", width_mult=0.0625, use_deconv=True)
+    x = jnp.zeros((2, 128, 256, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    disps = model.apply(params, x)
+    assert len(disps) == 4
+    for i, d in enumerate(disps):
+        assert d.shape == (2, 128 // 2**i, 256 // 2**i, 2), (i, d.shape)

@@ -192,3 +192,42 @@ def test_monodepth_resnet50_converter_maps_all_layers(tmp_path):
     )
     disps = model.apply(grafted, x)
     assert disps[0].shape == (2, 128, 256, 2)
+
+
+def test_monodepth_deconv_converter(tmp_path):
+    model = Monodepth(encoder="vgg", width_mult=0.0625, use_deconv=True)
+    x = jnp.zeros((2, 128, 256, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+    rng = np.random.default_rng(6)
+
+    dec_order = W._monodepth_decoder_order(7)
+    var_specs = {}
+    for i, our in enumerate(W._MONODEPTH_VGG_ENCODER):
+        suffix = "" if i == 0 else f"_{i}"
+        var_specs[f"model/encoder/Conv{suffix}/weights"] = rng.normal(
+            size=np.asarray(p[our]["kernel"]).shape).astype(np.float32)
+        var_specs[f"model/encoder/Conv{suffix}/biases"] = rng.normal(
+            size=np.asarray(p[our]["bias"]).shape).astype(np.float32)
+    ci = di = 0
+    for our in dec_order:
+        if our.startswith("upconv"):
+            base = "Conv2d_transpose" if di == 0 else f"Conv2d_transpose_{di}"
+            di += 1
+        else:
+            base = "Conv" if ci == 0 else f"Conv_{ci}"
+            ci += 1
+        var_specs[f"model/decoder/{base}/weights"] = rng.normal(
+            size=np.asarray(p[our]["kernel"]).shape).astype(np.float32)
+        var_specs[f"model/decoder/{base}/biases"] = rng.normal(
+            size=np.asarray(p[our]["bias"]).shape).astype(np.float32)
+
+    ckpt = _write_tf1_checkpoint(tmp_path, var_specs)
+    converted = W.convert_monodepth_checkpoint(ckpt, encoder="vgg", use_deconv=True)
+    grafted = W.as_jax_params(params, converted)
+    np.testing.assert_array_equal(
+        np.asarray(grafted["params"]["upconv7"]["kernel"]),
+        var_specs["model/decoder/Conv2d_transpose/weights"],
+    )
+    disps = model.apply(grafted, x)
+    assert disps[0].shape == (2, 128, 256, 2)
