@@ -139,3 +139,17 @@ def test_make_mockup_and_train_roundtrip(tmp_path):
     assert images.shape == (1, 32, 64, 3)
     # all three classes present across the scene
     assert set(np.unique(np.argmax(labels, -1))) == {0, 1, 2}
+
+
+def test_runtime_trace_smoke(tmp_path):
+    """jax.profiler tracing wrapper produces a trace directory."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu import runtime
+
+    with runtime.trace(str(tmp_path / "trace")):
+        with runtime.annotate("smoke"):
+            jnp.sum(jnp.arange(16.0)).block_until_ready()
+    # a plugins/profile/<ts> tree with at least one file
+    found = list((tmp_path / "trace").rglob("*"))
+    assert found, "no trace artifacts written"
