@@ -41,6 +41,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--approach", type=str, default="rw")
     p.add_argument("--depth", type=float, default=10)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per fused device dispatch (>1 enables the "
+                        "streamed batch path; frames must share a resolution)")
     p.add_argument("--output_name", default="stuttgart_video")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--use_frozen", action="store_true", help="(compat no-op)")
@@ -101,15 +104,65 @@ def main(argv=None):
     if not frames:
         raise SystemExit(f"no frames match {args.input_folder}")
 
+    def load(path):
+        try:
+            return common.imread_bgr(path)
+        except Exception as e:  # corrupt/unreadable frame: log and continue
+            print(f"WARNING: skipping unreadable frame {path}: {e}")
+            return None
+
+    if args.batch > 1:
+        # Streamed batch mode: B frames per fused device dispatch (the
+        # process_batch path the bench uses); one dispatch amortizes all
+        # per-call overheads. Frames in one batch must share a resolution
+        # (sequences do); ragged tails run as smaller batches.
+        pending = []  # (names, hws, batched FrameOutputs)
+        import jax
+
+        def flush(batch_items):
+            if not batch_items:
+                return
+            names, hws, imgs = zip(*batch_items)
+            outs = pipe.process_batch(np.stack(imgs).astype(np.float32))
+            pending.append((names, hws, outs))
+            while len(pending) > 1:
+                drain(pending.pop(0))
+
+        def drain(entry):
+            names, hws, outs = entry
+            for i, (name, hw) in enumerate(zip(names, hws)):
+                one = jax.tree.map(lambda x: x[i], outs)
+                d = save_sequence_artifacts(one, cfg, name, hw,
+                                            result_images_dir, result_ply_dir)
+                if args.verbose and d is not None:
+                    print("Road width", d)
+
+        batch_items = []
+        for path in frames:
+            frame = load(path)
+            if frame is None:
+                continue
+            print(f"\n\nPROCESSING NEW FRAME! {path}\n")
+            name = os.path.splitext(os.path.basename(path))[0]
+            if batch_items and frame.shape[:2] != batch_items[0][2].shape[:2]:
+                flush(batch_items)
+                batch_items = []
+            batch_items.append((name, frame.shape[:2], frame))
+            if len(batch_items) == args.batch:
+                flush(batch_items)
+                batch_items = []
+        flush(batch_items)
+        for entry in pending:
+            drain(entry)
+        return
+
     # Double-buffered streaming: dispatch N+1 before fetching N.
     pending = []  # list of (output_name, original_hw, FrameOutputs)
     for path in frames:
-        print(f"\n\nPROCESSING NEW FRAME! {path}\n")
-        try:
-            frame = common.imread_bgr(path)
-        except Exception as e:  # corrupt/unreadable frame: log and continue
-            print(f"WARNING: skipping unreadable frame {path}: {e}")
+        frame = load(path)
+        if frame is None:
             continue
+        print(f"\n\nPROCESSING NEW FRAME! {path}\n")
         out = pipe.process_frame(frame.astype(np.float32))
         output_name = os.path.splitext(os.path.basename(path))[0]
         pending.append((output_name, frame.shape[:2], out))

@@ -167,3 +167,32 @@ def test_profile_stages_times_file(tmp_path, frame_dir, monkeypatch):
     assert lines["Time semantic"] > 0
     assert lines["Time disparity"] > 0
     assert lines["Time road"] > 0
+
+
+def test_sequence_batched_mode(tmp_path, frame_dir, monkeypatch):
+    """--batch >1 routes through the fused batch program; artifacts match
+    the frame list, including a ragged tail batch."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(96, 192, 3)).astype(np.uint8)
+    Image.fromarray(img).save(frame_dir / "test_3.png")
+
+    from semantic_depth_tpu.cli import sequence as cli
+
+    cli.main(
+        [
+            "--input_folder", str(frame_dir / "*.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--batch", "2",
+            "--results_dir", str(tmp_path / "results"),
+            "--output_name", "seqb",
+        ]
+    )
+    imgs = tmp_path / "results" / "seqb" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs.iterdir()) == [
+        "test_1.png", "test_2.png", "test_3.png"
+    ]
