@@ -196,3 +196,25 @@ def test_sequence_batched_mode(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == [
         "test_1.png", "test_2.png", "test_3.png"
     ]
+
+
+def test_monodepth_infer_cli(tmp_path, frame_dir, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import monodepth_infer as cli
+
+    cli.main(
+        [
+            "--input", str(frame_dir / "*.png"),
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--dev_tiny",
+            "--save_npy",
+            "--out_dir", str(tmp_path / "disp"),
+        ]
+    )
+    outs = sorted(p.name for p in (tmp_path / "disp").iterdir())
+    assert "test_1_disp.png" in outs and "test_1_disp.npy" in outs
+    d = np.load(tmp_path / "disp" / "test_1_disp.npy")
+    assert d.shape == (128, 256)
+    assert d.min() >= 0 and d.max() <= 0.3 + 1e-6  # normalized disparity
