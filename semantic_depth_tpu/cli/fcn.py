@@ -55,6 +55,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "read interactively if omitted (reference fcn.py:666-668)")
     p.add_argument("--mesh", action="store_true",
                    help="train data/tensor-parallel over all local devices")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start training from a .msgpack export, a full "
+                        "FCN TF1 checkpoint, or an encoder-only VGG16 TF1 "
+                        "checkpoint (dir or prefix). Encoder-only checkpoints "
+                        "keep the trunc-normal decoder init — the reference "
+                        "always warm-starts this way from the Udacity VGG16 "
+                        "SavedModel (fcn8s/fcn.py:82-95, helper.py:60-94)")
     p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -93,7 +100,43 @@ def make_trainer(args) -> FCNTrainer:
                       width_mult=0.125, fc_channels=32)
     else:
         model = FCN8s(num_classes=cfg.num_classes, dropout_keep_prob=cfg.dropout)
-    return FCNTrainer(cfg, model=model)
+    trainer = FCNTrainer(cfg, model=model)
+    if getattr(args, "init_from", None):
+        trainer.set_params(
+            load_warm_start(model, trainer.state.params, args.init_from)
+        )
+    return trainer
+
+
+def load_warm_start(model: FCN8s, template, path: str):
+    """Resolve --init_from: .msgpack (full params), a full FCN TF1 checkpoint
+    (VGG + decoder, fcn.py save_model layout), or an encoder-only VGG16
+    checkpoint — in which case the decoder keeps the template's trunc-normal
+    1e-2 init, exactly like the reference's load_vgg warm start
+    (fcn8s/fcn.py:82-95)."""
+    from ..models import weights as weights_lib
+
+    if os.path.isfile(path) and path.endswith(".msgpack"):
+        return weights_lib.load_params(template, path)
+
+    import tensorflow as tf
+
+    ckpt = path
+    if os.path.isdir(path):
+        var_dir = os.path.join(path, "variables")
+        ckpt = tf.train.latest_checkpoint(var_dir if os.path.isdir(var_dir) else path)
+        if ckpt is None:
+            raise FileNotFoundError(f"no TF checkpoint found under {path}")
+    try:
+        converted = weights_lib.convert_fcn_checkpoint(ckpt)
+        return weights_lib.as_jax_params(template, converted)
+    except KeyError:
+        # no decoder variables -> encoder-only VGG16 checkpoint
+        converted = weights_lib.convert_vgg_checkpoint(ckpt)
+        params, loaded = weights_lib.graft_partial(template, converted)
+        print(f"Warm start: loaded {len(loaded)} encoder layers from {ckpt}; "
+              "decoder keeps trunc-normal init")
+        return params
 
 
 def run_inference(trainer: FCNTrainer, dataset: SegmentationDataset, args, model_name: str):
@@ -184,10 +227,14 @@ def main(argv=None):
         trainer.save_checkpoint(os.path.join(model_var_dir, "orbax"))
         print(f"Saving model to: {model_var_dir}")
     elif args.mode == "test":
-        from ..models import weights as weights_lib
+        # native msgpack export OR a reference-layout TF SavedModel dir
+        # (<model>/variables/saved_model.*, fcn.py:100-107) — the reference
+        # test mode restores its SavedModel directly (fcn.py:583-595).
+        from . import common
 
-        msgpack = os.path.join(model_var_dir, "fcn8s.msgpack")
-        trainer.state.params = weights_lib.load_params(trainer.state.params, msgpack)
+        trainer.set_params(
+            common.load_fcn_params(trainer.model, model_var_dir, dataset.image_shape)
+        )
         run_inference(trainer, dataset, args, model_name)
     else:
         raise SystemExit(f"unknown mode {args.mode}")

@@ -234,6 +234,51 @@ def convert_fcn_checkpoint(ckpt_path: str) -> Dict:
     return {"params": params}
 
 
+def convert_vgg_checkpoint(ckpt_path: str) -> Dict:
+    """Encoder-only VGG16 checkpoint (the S3-downloaded 'vgg' model of
+    helper.py:60-94) -> flax params covering just the encoder layers.
+
+    The reference never trains its decoder from a checkpoint — load_vgg pulls
+    the pretrained encoder and the decoder starts trunc-normal (fcn.py:82-95,
+    159-215). Use with ``graft_partial`` so missing decoder layers keep the
+    template's trunc-normal init."""
+    tf_vars = _read_tf_checkpoint(ckpt_path)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for tf_scope, our_name in _FCN_VGG_NAME_MAP.items():
+        for wkey, bkey in (
+            (f"{tf_scope}/filter", f"{tf_scope}/biases"),
+            (f"{tf_scope}/weights", f"{tf_scope}/biases"),
+            (f"{tf_scope}/kernel", f"{tf_scope}/bias"),
+        ):
+            if wkey in tf_vars:
+                params[our_name] = {"kernel": tf_vars[wkey], "bias": tf_vars[bkey]}
+                break
+        else:
+            raise KeyError(f"VGG variable for layer {tf_scope} not found in checkpoint")
+    return {"params": params}
+
+
+def graft_partial(template: Any, converted: Dict):
+    """Graft converted weights onto a template where present; layers absent
+    from ``converted`` keep the template's (freshly initialized) values.
+    Returns (params, loaded_layer_names). Shape mismatches still raise."""
+    flat_t = traverse_util.flatten_dict(serialization.to_state_dict(template))
+    flat_c = traverse_util.flatten_dict(converted)
+    out = {}
+    loaded = set()
+    for k, v in flat_t.items():
+        if k in flat_c:
+            cv = np.asarray(flat_c[k])
+            if cv.shape != v.shape:
+                raise ValueError(f"shape mismatch at {k}: ckpt {cv.shape} vs model {v.shape}")
+            out[k] = cv.astype(np.asarray(v).dtype)
+            loaded.add(k[-2] if len(k) >= 2 else k[-1])
+        else:
+            out[k] = v
+    restored = traverse_util.unflatten_dict(out)
+    return serialization.from_state_dict(template, restored), sorted(loaded)
+
+
 def as_jax_params(template: Any, converted: Dict) -> Any:
     """Graft converted numpy weights onto an initialized template params tree
     (validates shapes; raises on mismatch)."""

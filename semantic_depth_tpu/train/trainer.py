@@ -191,6 +191,11 @@ class FCNTrainer:
             "mean_iou": float(mean_iou_from_cm(jnp.asarray(total_cm))),
         }
 
+    def set_params(self, params: Any) -> None:
+        """Replace the model parameters (warm start / restore), resetting the
+        optimizer state and step counter."""
+        self.state = TrainState(params=params, opt_state=self.tx.init(params))
+
     # -- persistence -------------------------------------------------------
     def save_msgpack(self, path: str) -> str:
         return weights_lib.save_params(self.state.params, path)
