@@ -2,9 +2,10 @@
 
 The reference vendors the monodepth trainer without shipping it (the
 monodepth_parameters surface at semantic_depth.py:609-622 exposes its loss
-weights); this CLI trains our rebuild on a directory of stereo pairs:
-
-    left/<name>.png   right/<name>.png   (matched by filename)
+weights); this CLI trains our rebuild with the published training recipe:
+a KITTI/Cityscapes filename-list loader (or a left//right directory pair),
+random flip-and-swap + gamma/brightness/color jitter, and a prefetching
+host pipeline (train/stereo_data.py).
 
 Writes orbax step checkpoints plus a final monodepth.msgpack the pipeline
 CLIs consume.
@@ -15,7 +16,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from glob import glob
 
 import numpy as np
 
@@ -26,8 +26,15 @@ def main(argv=None):
     setup_cache()
 
     p = argparse.ArgumentParser(description="Train monodepth on stereo pairs.")
-    p.add_argument("--data_dir", required=True,
+    p.add_argument("--data_dir", default=None,
                    help="directory containing left/ and right/ image folders")
+    p.add_argument("--filenames_file", default=None,
+                   help="monodepth-format list: '<left_rel> <right_rel>' per "
+                        "line, relative to --data_path")
+    p.add_argument("--data_path", default="",
+                   help="root the filenames_file paths are relative to")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable flip-swap + photometric jitter")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -45,19 +52,21 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..models import Monodepth
-    from ..ops.resize import resize_clip_u8
     from ..train.monodepth_trainer import MonodepthTrainConfig, MonodepthTrainer
-    from .common import imread_bgr
-
-    lefts = sorted(glob(os.path.join(args.data_dir, "left", "*")))
-    rights = sorted(glob(os.path.join(args.data_dir, "right", "*")))
-    if not lefts or len(lefts) != len(rights):
-        raise SystemExit(
-            f"need matched left/right images under {args.data_dir} "
-            f"(found {len(lefts)} / {len(rights)})"
-        )
+    from ..train.stereo_data import StereoDataset
 
     hw = (args.input_height, args.input_width)
+    try:
+        dataset = StereoDataset(
+            data_dir=args.data_dir,
+            filenames_file=args.filenames_file,
+            data_path=args.data_path,
+            image_hw=hw,
+            augment=not args.no_augment,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+
     model = Monodepth(encoder=args.encoder, width_mult=0.0625 if args.dev_tiny else 1.0)
     cfg = MonodepthTrainConfig(
         learning_rate=args.learning_rate,
@@ -67,19 +76,10 @@ def main(argv=None):
     )
     trainer = MonodepthTrainer(cfg, model=model, input_hw=hw)
 
-    def load(path):
-        img = imread_bgr(path)[:, :, ::-1].astype(np.float32)  # RGB
-        return np.asarray(resize_clip_u8(jnp.asarray(img), hw)) / 255.0
-
     os.makedirs(args.model_dir, exist_ok=True)
-    rng = np.random.default_rng(0)
     for epoch in range(1, args.epochs + 1):
-        order = rng.permutation(len(lefts))
         t0, losses = time.time(), []
-        for i in range(0, len(order), args.batch_size):
-            idx = order[i : i + args.batch_size]
-            left = np.stack([load(lefts[j]) for j in idx])
-            right = np.stack([load(rights[j]) for j in idx])
+        for left, right in dataset.batches(args.batch_size):
             m = trainer.train_batch(jnp.asarray(left), jnp.asarray(right))
             losses.append(m["loss"])
             if trainer.step % args.checkpoint_every == 0:
