@@ -176,11 +176,23 @@ def statistical_outlier_filter_grid(
     return valid & (mean_d < threshold)
 
 
+def _exact_knn_dispatch(cloud: MaskedCloud, k: int, block_size: int) -> jnp.ndarray:
+    """Pallas kernel on TPU (running k-best in VMEM — the XLA scan's top_k
+    sorts and its (C, block) cross tiles round-trip HBM); XLA elsewhere."""
+    c = cloud.capacity
+    if jax.default_backend() == "tpu" and c % 256 == 0:
+        from .pallas_exact_knn import knn_mean_distances_exact_pallas
+
+        cb = 2048 if c % 2048 == 0 else 256
+        return knn_mean_distances_exact_pallas(cloud.xyz, cloud.valid, k, cb=cb)
+    return knn_mean_distances(cloud, k, block_size)
+
+
 def statistical_outlier_filter(
     cloud: MaskedCloud, nb_neighbors: int, std_ratio: float, block_size: int = 2048
 ) -> MaskedCloud:
     """Open3D statistical_outlier_removal semantics (semantic_depth.py:234)."""
-    mean_d = knn_mean_distances(cloud, nb_neighbors, block_size)
+    mean_d = _exact_knn_dispatch(cloud, nb_neighbors, block_size)
     w = cloud.valid.astype(jnp.float32)
     n = jnp.sum(w)
     vals = jnp.where(cloud.valid, mean_d, 0.0)
@@ -194,5 +206,12 @@ def radius_outlier_filter(
     cloud: MaskedCloud, nb_points: int, radius: float, block_size: int = 2048
 ) -> MaskedCloud:
     """Open3D radius_outlier_removal semantics (semantic_depth.py:238)."""
-    counts = radius_counts(cloud, radius, block_size)
+    c = cloud.capacity
+    if jax.default_backend() == "tpu" and c % 256 == 0:
+        from .pallas_exact_knn import radius_counts_pallas
+
+        cb = 2048 if c % 2048 == 0 else 256
+        counts = radius_counts_pallas(cloud.xyz, cloud.valid, float(radius), cb=cb)
+    else:
+        counts = radius_counts(cloud, radius, block_size)
     return cloud.with_mask(cloud.valid & (counts > nb_points))

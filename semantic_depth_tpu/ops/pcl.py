@@ -125,9 +125,32 @@ def masked_kth_smallest(values: jnp.ndarray, valid: jnp.ndarray, k: jnp.ndarray)
 
 
 def _masked_median_radix(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact NumPy-median semantics in 34 masked passes (was 64): one 32-step
+    radix search finds the lower order statistic k1 = (n-1)//2; the upper
+    statistic k2 = n//2 is recovered with one duplicate count plus one masked
+    min (the next larger valid value) instead of a second 32-step search."""
     n = jnp.sum(valid.astype(jnp.int32))
-    lo_stat = masked_kth_smallest(values, valid, jnp.maximum((n - 1) // 2, 0))
-    hi_stat = masked_kth_smallest(values, valid, jnp.maximum(n // 2, 0))
+    u = _f32_to_ordered_u32(values)
+    k1 = jnp.maximum((n - 1) // 2, 0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        c = jnp.sum(((u <= mid) & valid).astype(jnp.int32))
+        take_left = c >= k1 + 1
+        return jnp.where(take_left, lo, mid + 1), jnp.where(take_left, mid, hi)
+
+    u_lo, _ = jax.lax.fori_loop(0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF)))
+    lo_stat = _ordered_u32_to_f32(u_lo)
+
+    # k2-th statistic: equals lo_stat unless n is even AND fewer than k2+1
+    # valid values are <= lo_stat (no duplicate straddling the middle).
+    c_le = jnp.sum(((u <= u_lo) & valid).astype(jnp.int32))
+    need_hi = (n % 2 == 0) & (c_le < n // 2 + 1) & (n > 0)
+    u_next = jnp.min(
+        jnp.where(valid & (u > u_lo), u, jnp.uint32(0xFFFFFFFF))
+    )
+    hi_stat = jnp.where(need_hi, _ordered_u32_to_f32(u_next), lo_stat)
     med = 0.5 * (lo_stat + hi_stat)
     return jnp.where(n > 0, med, jnp.nan)
 
@@ -146,12 +169,62 @@ def masked_median(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     middle order statistics for even counts; nan when empty).
 
     Two exact implementations (both fuzz-tested against numpy): radix
-    selection (64 masked counts, no sort — faster on TPU, where it lifted
-    the end-to-end bench ~10%) and a sort (faster on CPU, where 64
+    selection (34 masked counts, no sort — faster on TPU, where it lifted
+    the end-to-end bench ~10%) and a sort (faster on CPU, where the
     sequential reduces lose to one vectorized sort)."""
     if jax.default_backend() == "tpu":
         return _masked_median_radix(values, valid)
     return _masked_median_sort(values, valid)
+
+
+def _masked_median_radix_batched(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) -> (B,) medians; the B radix searches share every one of the 34
+    passes (each pass reads all rows once), so a batch of medians costs the
+    same pass count as one."""
+    n = jnp.sum(valid.astype(jnp.int32), axis=-1)  # (B,)
+    u = _f32_to_ordered_u32(values)
+    k1 = jnp.maximum((n - 1) // 2, 0)
+    b = values.shape[0]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        c = jnp.sum(((u <= mid[:, None]) & valid).astype(jnp.int32), axis=-1)
+        take_left = c >= k1 + 1
+        return jnp.where(take_left, lo, mid + 1), jnp.where(take_left, mid, hi)
+
+    u_lo, _ = jax.lax.fori_loop(
+        0, 32, body,
+        (jnp.zeros((b,), jnp.uint32), jnp.full((b,), 0xFFFFFFFF, jnp.uint32)),
+    )
+    lo_stat = _ordered_u32_to_f32(u_lo)
+    c_le = jnp.sum(((u <= u_lo[:, None]) & valid).astype(jnp.int32), axis=-1)
+    need_hi = (n % 2 == 0) & (c_le < n // 2 + 1) & (n > 0)
+    u_next = jnp.min(
+        jnp.where(valid & (u > u_lo[:, None]), u, jnp.uint32(0xFFFFFFFF)), axis=-1
+    )
+    hi_stat = jnp.where(need_hi, _ordered_u32_to_f32(u_next), lo_stat)
+    return jnp.where(n > 0, 0.5 * (lo_stat + hi_stat), jnp.nan)
+
+
+def _masked_median_sort_batched(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    sorted_vals = jnp.sort(jnp.where(valid, values, jnp.inf), axis=-1)
+    cap = values.shape[-1]
+    lo = jnp.clip((n - 1) // 2, 0, cap - 1)
+    hi = jnp.clip(n // 2, 0, cap - 1)
+    med = 0.5 * (
+        jnp.take_along_axis(sorted_vals, lo[:, None], axis=-1)[:, 0]
+        + jnp.take_along_axis(sorted_vals, hi[:, None], axis=-1)[:, 0]
+    )
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+def masked_median_batched(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Batched masked_median over the leading axis: (B, N) -> (B,)."""
+    if jax.default_backend() == "tpu":
+        return _masked_median_radix_batched(values, valid)
+    return _masked_median_sort_batched(values, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +257,24 @@ def mad_filter(cloud: MaskedCloud, axis: int, threshold: float) -> MaskedCloud:
     penalty = _MAD_SCALE * abs_diffs / mad
     keep = penalty < threshold  # nan/inf -> False, matching np.where semantics
     return cloud.with_mask(cloud.valid & keep)
+
+
+def mad_filter_pair(
+    a: MaskedCloud, b: MaskedCloud, axis: int, threshold_a: float, threshold_b: float
+) -> Tuple[MaskedCloud, MaskedCloud]:
+    """Two independent MAD filters (e.g. the left/right fence split,
+    semantic_depth.py:293-305) with their four medians computed as two
+    BATCHED medians — identical results to two mad_filter calls at half the
+    sequential reduction-pass count."""
+    vals = jnp.stack([a.xyz[:, axis], b.xyz[:, axis]])
+    valids = jnp.stack([a.valid, b.valid])
+    meds = masked_median_batched(vals, valids)
+    diffs = jnp.abs(vals - meds[:, None])
+    mads = masked_median_batched(diffs, valids)
+    penalty = _MAD_SCALE * diffs / mads[:, None]
+    thr = jnp.asarray([threshold_a, threshold_b], vals.dtype)
+    keep = penalty < thr[:, None]
+    return a.with_mask(a.valid & keep[0]), b.with_mask(b.valid & keep[1])
 
 
 def split_by_mean(cloud: MaskedCloud, axis: int = 0) -> Tuple[MaskedCloud, MaskedCloud]:

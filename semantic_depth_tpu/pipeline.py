@@ -111,9 +111,14 @@ def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineCon
     fence = pcl.mad_filter(fence, fc.mad_y.axis, fc.mad_y.threshold)
     fence = pcl.threshold_abs(fence, 2, fc.z_abs_threshold)
     left, right = pcl.split_by_mean(fence, 0)
-    left = pcl.mad_filter(left, fc.mad_x_left.axis, fc.mad_x_left.threshold)
+    # the two MAD cuts are independent: batch their four medians into two
+    # (same results as two mad_filter calls, half the reduction passes)
+    assert fc.mad_x_left.axis == fc.mad_x_right.axis
+    left, right = pcl.mad_filter_pair(
+        left, right, fc.mad_x_left.axis, fc.mad_x_left.threshold,
+        fc.mad_x_right.threshold,
+    )
     left, left_plane = pcl.plane_inlier_filter(left, fc.plane_left.axis, fc.plane_left.threshold)
-    right = pcl.mad_filter(right, fc.mad_x_right.axis, fc.mad_x_right.threshold)
     right, right_plane = pcl.plane_inlier_filter(
         right, fc.plane_right.axis, fc.plane_right.threshold
     )

@@ -28,6 +28,85 @@ def test_knn_mean_distances_matches_bruteforce():
     assert np.all(np.isinf(got[300:]))
 
 
+def test_exact_pallas_knn_matches_xla_path():
+    """The Pallas exact-kNN kernel must reproduce knn_mean_distances (same
+    k-smallest set incl. duplicate distances; distances to f32 round-off)."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import knn_mean_distances_exact_pallas
+
+    cloud, pts = make_cloud(n=300, capacity=512)
+    want = np.asarray(neighbors.knn_mean_distances(cloud, 10, block_size=128))
+    got = np.asarray(
+        knn_mean_distances_exact_pallas(
+            jnp.asarray(cloud.xyz), jnp.asarray(cloud.valid), 10, tq=128, cb=128
+        )
+    )
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), finite)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=0, atol=1e-5)
+
+
+def test_exact_pallas_knn_duplicates_and_sparse():
+    """Duplicate coordinates must count multiply; < k valid candidates -> inf."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import knn_mean_distances_exact_pallas
+
+    capacity = 256
+    xyz = np.full((capacity, 3), 9.0, np.float32)
+    xyz[:4] = 0.0  # four coincident points
+    xyz[4] = [1.0, 0.0, 0.0]
+    valid = np.zeros(capacity, bool)
+    valid[:5] = True
+    got = np.asarray(
+        knn_mean_distances_exact_pallas(
+            jnp.asarray(xyz), jnp.asarray(valid), 4, tq=128, cb=128
+        )
+    )
+    # point 0's 4-NN: three zeros (duplicates) + itself -> mean 0
+    assert got[0] == 0.0
+    # point 4's 4-NN: itself + three of the coincident points at distance 1
+    np.testing.assert_allclose(got[4], 3.0 / 4.0, atol=1e-6)
+    assert np.all(np.isinf(got[5:]))
+
+    # fewer than k valid candidates in the whole cloud -> inf everywhere valid
+    valid2 = np.zeros(capacity, bool)
+    valid2[:3] = True
+    got2 = np.asarray(
+        knn_mean_distances_exact_pallas(
+            jnp.asarray(xyz), jnp.asarray(valid2), 4, tq=128, cb=128
+        )
+    )
+    assert np.all(np.isinf(got2[:3]))
+
+
+def test_radius_counts_pallas_matches_xla_path():
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import radius_counts_pallas
+
+    cloud, pts = make_cloud(n=300, capacity=512)
+    want = np.asarray(neighbors.radius_counts(cloud, 0.5, block_size=128))
+    got = np.asarray(
+        radius_counts_pallas(
+            jnp.asarray(cloud.xyz), jnp.asarray(cloud.valid), 0.5, tq=128, cb=128
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # and under vmap (the batch pipeline vmaps the geometry chain)
+    xyzs = jnp.stack([cloud.xyz, cloud.xyz * 0.5])
+    valids = jnp.stack([cloud.valid, cloud.valid])
+    got_b = np.asarray(
+        jax.vmap(lambda x, v: radius_counts_pallas(x, v, 0.5, tq=128, cb=128))(
+            xyzs, valids
+        )
+    )
+    np.testing.assert_array_equal(got_b[0], want)
+
+
 def test_statistical_filter_matches_oracle():
     cloud, pts = make_cloud(seed=1)
     out = neighbors.statistical_outlier_filter(cloud, 10, 0.5, block_size=128)

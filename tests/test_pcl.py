@@ -198,6 +198,49 @@ def test_masked_median_radix_select_fuzz():
             assert got == want, (impl.__name__, trial, got, want)
 
 
+def test_masked_median_batched_fuzz():
+    """Both batched implementations must equal per-row numpy medians."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        b = int(rng.integers(1, 5))
+        n_cap = int(rng.integers(2, 150))
+        if trial % 3 == 0:
+            vals = rng.choice([0.0, -0.0, 1.5, -1.5, 42.0, -1e9], size=(b, n_cap))
+        else:
+            vals = rng.normal(scale=10.0 ** rng.integers(-3, 4), size=(b, n_cap))
+        vals = vals.astype(np.float32)
+        valid = rng.uniform(size=(b, n_cap)) < rng.uniform(0.1, 1.0)
+        want = np.array(
+            [np.median(vals[i][valid[i]]) if valid[i].any() else np.nan
+             for i in range(b)]
+        )
+        for impl in (pcl._masked_median_radix_batched, pcl._masked_median_sort_batched):
+            got = np.asarray(impl(jnp.asarray(vals), jnp.asarray(valid)))
+            np.testing.assert_array_equal(got, want.astype(np.float32),
+                                          err_msg=f"{impl.__name__} trial {trial}")
+
+
+def test_mad_filter_pair_equals_two_mad_filters():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    pts = rng.normal(size=(300, 3)).astype(np.float32) * 5
+    cols = np.ones_like(pts)
+    base = pcl.MaskedCloud(
+        xyz=jnp.asarray(pts), rgb=jnp.asarray(cols),
+        valid=jnp.asarray(rng.uniform(size=300) < 0.8),
+    )
+    left = base.with_mask(base.valid & (base.xyz[:, 0] < 0))
+    right = base.with_mask(base.valid & (base.xyz[:, 0] > 0))
+    la, ra = pcl.mad_filter_pair(left, right, 0, 5.0, 1.0)
+    lb = pcl.mad_filter(left, 0, 5.0)
+    rb = pcl.mad_filter(right, 0, 1.0)
+    np.testing.assert_array_equal(np.asarray(la.valid), np.asarray(lb.valid))
+    np.testing.assert_array_equal(np.asarray(ra.valid), np.asarray(rb.valid))
+
+
 def test_masked_kth_smallest_matches_sort():
     from semantic_depth_tpu.ops.pcl import masked_kth_smallest
 
