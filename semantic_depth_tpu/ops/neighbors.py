@@ -143,15 +143,38 @@ def _grid_knn_dispatch(points, valid, k, window):
     """Pick the TPU Pallas kernel when compiling for TPU (394x faster than
     the XLA stencil there — the wh*ww pad+slice copies round-trip HBM);
     the jnp stencil elsewhere (the Pallas interpreter is slow on CPU). Both
-    are verified bit-identical (tests/test_pallas_knn.py)."""
+    are verified bit-identical (tests/test_pallas_knn.py).
+
+    Wrapped in custom_vmap: jax.vmap cannot batch the large-image
+    (ANY-memory-space, HBM-streaming) pallas_call, so batching maps to the
+    natively-batched kernel (batch axis as a leading grid dimension)."""
     if jax.default_backend() == "tpu":
-        from .pallas_knn import knn_mean_distances_grid_pallas
+        from .pallas_knn import (
+            knn_mean_distances_grid_pallas,
+            knn_mean_distances_grid_pallas_batched,
+        )
 
         h = valid.shape[0]
         tile_h = 32
         while h % tile_h != 0:
             tile_h //= 2
-        return knn_mean_distances_grid_pallas(points, valid, k, window, tile_h=tile_h)
+
+        @jax.custom_batching.custom_vmap
+        def run(p, v):
+            return knn_mean_distances_grid_pallas(p, v, k, window, tile_h=tile_h)
+
+        @run.def_vmap
+        def _run_vmap(axis_size, in_batched, p, v):
+            if not in_batched[0]:
+                p = jnp.broadcast_to(p[None], (axis_size,) + p.shape)
+            if not in_batched[1]:
+                v = jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+            out = knn_mean_distances_grid_pallas_batched(
+                p, v, k, window, tile_h=tile_h
+            )
+            return out, True
+
+        return run(points, valid)
     return knn_mean_distances_grid(points, valid, k, window)
 
 

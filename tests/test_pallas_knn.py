@@ -64,3 +64,48 @@ def test_pallas_knn_hbm_variant_matches_reference():
     finite = np.isfinite(ref)
     np.testing.assert_array_equal(np.isfinite(got), finite)
     np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_knn_batched_matches_single():
+    """Batched wrapper (resident path -> vmap; HBM path -> batch-grid kernel)
+    matches per-frame results."""
+    from semantic_depth_tpu.ops import pallas_knn
+
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 32, 128
+    pts = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+    valid = rng.uniform(size=(b, h, w)) < 0.7
+    refs = np.stack(
+        [
+            np.asarray(
+                knn_mean_distances_grid(jnp.asarray(pts[i]), jnp.asarray(valid[i]), 5, (3, 9))
+            )
+            for i in range(b)
+        ]
+    )
+
+    # resident path
+    got = np.asarray(
+        pallas_knn.knn_mean_distances_grid_pallas_batched(
+            jnp.asarray(pts), jnp.asarray(valid), 5, (3, 9), tile_h=16
+        )
+    )
+    finite = np.isfinite(refs)
+    np.testing.assert_array_equal(np.isfinite(got), finite)
+    np.testing.assert_allclose(got[finite], refs[finite], rtol=1e-5, atol=1e-6)
+
+    # forced HBM batch-grid path
+    orig = pallas_knn._VMEM_RESIDENT_BUDGET
+    pallas_knn._VMEM_RESIDENT_BUDGET = 0
+    pallas_knn.knn_mean_distances_grid_pallas_batched.clear_cache()
+    try:
+        got_hbm = np.asarray(
+            pallas_knn.knn_mean_distances_grid_pallas_batched(
+                jnp.asarray(pts), jnp.asarray(valid), 5, (3, 9), tile_h=16
+            )
+        )
+    finally:
+        pallas_knn._VMEM_RESIDENT_BUDGET = orig
+        pallas_knn.knn_mean_distances_grid_pallas_batched.clear_cache()
+    np.testing.assert_array_equal(np.isfinite(got_hbm), finite)
+    np.testing.assert_allclose(got_hbm[finite], refs[finite], rtol=1e-5, atol=1e-6)
