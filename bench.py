@@ -44,8 +44,8 @@ BATCH = 8
 POOL_BATCHES = 4  # distinct device-resident scene batches, cycled
 FRAMES_PER_TRIAL = 104
 TRIALS = 3
-FULL_RES_BATCH = 4
-FULL_RES_FRAMES = 16
+FULL_RES_BATCH = 2  # flip-batch doubles it; batch 4 OOMs 16 GB HBM alongside
+FULL_RES_FRAMES = 8  # the f32 geometry planes at 1024x2048
 
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).
 _PEAK_TFLOPS = [
@@ -161,19 +161,22 @@ def main():
         mfu = flops_per_frame * best_fps / peak
 
     # ---- native full-resolution path (1024x2048 through the networks) ----
+    # Free the headline pipeline's device state first: the full-res program's
+    # peak live set (bf16 encoder pyramids + f32 geometry planes at 16x the
+    # pixels) plus a second full weight set does not fit 16 GB HBM alongside
+    # the batch-8 pool.
+    del batches
+    del pipe
     full_res_fps = None
     try:
         cfg_fr = munich_pipeline_config(
             compute_dtype="bfloat16", input_height=1024, input_width=2048
         )
-        fcn_fr = fcn
-        mono_fr = mono
-        fp = fcn_fr.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 2048, 3), jnp.float32))
-        mp = mono_fr.init(jax.random.PRNGKey(1), jnp.zeros((2, 1024, 2048, 3), jnp.float32))
-        pipe_fr = SemanticDepthPipeline(cfg_fr, fp, mp, fcn=fcn_fr, mono=mono_fr)
+        # conv-net weights are resolution-independent: reuse the same params
+        pipe_fr = SemanticDepthPipeline(cfg_fr, fcn_params, mono_params, fcn=fcn, mono=mono)
         fr_batches = [
             jax.device_put(jnp.asarray(pool[i * FULL_RES_BATCH : (i + 1) * FULL_RES_BATCH]))
-            for i in range(min(POOL_BATCHES, max(1, len(pool) // FULL_RES_BATCH)))
+            for i in range(min(4, max(1, len(pool) // FULL_RES_BATCH)))
         ]
         _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
         n_fr = max(1, FULL_RES_FRAMES // FULL_RES_BATCH)

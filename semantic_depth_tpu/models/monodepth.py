@@ -64,9 +64,14 @@ class Monodepth(nn.Module):
     def _conv(self, x, ch, k, stride, name, act="elu", scale_ch=True):
         if scale_ch:
             ch = self._ch(ch)
-        x = _sym_pad(x, k)
+        # Symmetric pad p = (k-1)//2 expressed as the conv's own padding
+        # attribute: identical sums to _sym_pad + VALID (the published
+        # network's semantics, which differ from SAME at stride 2), but XLA
+        # keeps it inside the convolution instead of materializing a padded
+        # copy through HBM per layer.
+        p = (k - 1) // 2
         x = nn.Conv(
-            ch, (k, k), strides=(stride, stride), padding="VALID",
+            ch, (k, k), strides=(stride, stride), padding=((p, p), (p, p)),
             dtype=self.compute_dtype, name=name,
         )(x)
         if act == "elu":

@@ -102,6 +102,30 @@ def radius_counts(cloud: MaskedCloud, radius: float, block_size: int = 2048) -> 
     return jnp.where(cloud.valid, counts, 0)
 
 
+@partial(jax.jit, static_argnames=("block_size",))
+def radius_counts_weighted(
+    cloud: MaskedCloud, weights: jnp.ndarray, radius: float, block_size: int = 2048
+) -> jnp.ndarray:
+    """Sum of per-candidate ``weights`` within ``radius`` of each point —
+    density-compensated neighbor counts (a stride-s subsampled candidate
+    carries weight s, an in-slab full-density candidate weight 1; see
+    pcl.select_slab_priority). With all-ones weights this equals
+    radius_counts. Invalid rows (weight 0) contribute nothing and return 0."""
+    c = cloud.capacity
+    block_size = min(block_size, c)
+    cols = cloud.xyz.reshape(c // block_size, block_size, 3)
+    wcols = weights.astype(jnp.float32).reshape(c // block_size, block_size)
+    r2 = jnp.float32(radius) ** 2
+
+    def step(counts, blk):
+        block, w = blk
+        d2 = _block_d2(cloud.xyz, block)
+        return counts + jnp.sum(jnp.where(d2 <= r2, w[None, :], 0.0), axis=1), None
+
+    counts, _ = jax.lax.scan(step, jnp.zeros((c,), jnp.float32), (cols, wcols))
+    return jnp.where(cloud.valid, counts, 0.0)
+
+
 def knn_mean_distances_grid(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -226,15 +250,42 @@ def statistical_outlier_filter(
 
 
 def radius_outlier_filter(
-    cloud: MaskedCloud, nb_points: int, radius: float, block_size: int = 2048
+    cloud: MaskedCloud,
+    nb_points: int,
+    radius: float,
+    block_size: int = 2048,
+    weights=None,
 ) -> MaskedCloud:
-    """Open3D radius_outlier_removal semantics (semantic_depth.py:238)."""
+    """Open3D radius_outlier_removal semantics (semantic_depth.py:238).
+
+    weights: optional per-candidate density compensation — each candidate
+    within ``radius`` contributes its weight instead of 1 and the weighted
+    sum is compared against ``nb_points``. Pass stride/px_ratio weights when
+    the cloud mixes full-density (endpoint slab) and stride-subsampled
+    points (pcl.select_slab_priority + compact on overflow) or was sampled
+    at a different grid resolution than the reference's 256x512, so the
+    threshold keeps its reference-density meaning. With all-ones weights the
+    cut is bit-identical to the unweighted one (small int counts are exact
+    in f32)."""
     c = cloud.capacity
+    if weights is None:
+        if jax.default_backend() == "tpu" and c % 256 == 0:
+            from .pallas_exact_knn import radius_counts_pallas
+
+            cb = 2048 if c % 2048 == 0 else 256
+            counts = radius_counts_pallas(cloud.xyz, cloud.valid, float(radius), cb=cb)
+        else:
+            counts = radius_counts(cloud, radius, block_size)
+        return cloud.with_mask(cloud.valid & (counts > nb_points))
+
+    weights = jnp.where(cloud.valid, weights.astype(jnp.float32), 0.0)
     if jax.default_backend() == "tpu" and c % 256 == 0:
         from .pallas_exact_knn import radius_counts_pallas
 
         cb = 2048 if c % 2048 == 0 else 256
-        counts = radius_counts_pallas(cloud.xyz, cloud.valid, float(radius), cb=cb)
+        est = radius_counts_pallas(
+            cloud.xyz, cloud.valid, float(radius), cb=cb, weights=weights
+        )
     else:
-        counts = radius_counts(cloud, radius, block_size)
-    return cloud.with_mask(cloud.valid & (counts > nb_points))
+        est = radius_counts_weighted(cloud, weights, radius, block_size)
+    return cloud.with_mask(cloud.valid & (est > nb_points))

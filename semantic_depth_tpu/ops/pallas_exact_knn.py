@@ -50,13 +50,16 @@ def _exact_knn_kernel(q_ref, c_ref, v_ref, out_ref, *, k: int, cb: int, c_total:
         d2 = jnp.where(v > 0, d2, inf)
 
         # extract the block's k smallest per row, maintaining duplicates:
-        # mask exactly ONE occurrence of each extracted minimum per pass.
+        # mask exactly ONE occurrence of each extracted minimum per pass
+        # (the first by column, via an iota argmin — Mosaic has no cumsum).
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+
         def extract(_, carry):
             d2_cur, buf = carry
             m = jnp.min(d2_cur, axis=1, keepdims=True)  # (TQ, 1)
             is_min = d2_cur == m
-            first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
-            d2_cur = jnp.where(is_min & first, inf, d2_cur)
+            min_col = jnp.min(jnp.where(is_min, col, cb), axis=1, keepdims=True)
+            d2_cur = jnp.where(is_min & (col == min_col), inf, d2_cur)
             # bubble-insert m into the sorted running buffer
             cand = m
             new_buf = []
@@ -82,6 +85,9 @@ def _exact_knn_kernel(q_ref, c_ref, v_ref, out_ref, *, k: int, cb: int, c_total:
 
 
 def _radius_kernel(q_ref, c_ref, v_ref, out_ref, *, cb: int, c_total: int, r2: float):
+    """v_ref row 0 carries per-candidate WEIGHTS (1.0 for plain validity);
+    a candidate within the radius contributes its weight — the
+    density-compensated count of neighbors.radius_outlier_filter."""
     q = q_ref[:]  # (TQ, 3)
     tq = q.shape[0]
     sq_q = jnp.sum(q * q, axis=1, keepdims=True)
@@ -97,8 +103,8 @@ def _radius_kernel(q_ref, c_ref, v_ref, out_ref, *, cb: int, c_total: int, r2: f
             precision=jax.lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(sq_q + sq_c - 2.0 * cross, 0.0)
-        within = (d2 <= r2) & (v > 0)
-        return counts + jnp.sum(within.astype(jnp.float32), axis=1, keepdims=True)
+        contrib = jnp.where(d2 <= r2, v, 0.0)
+        return counts + jnp.sum(contrib, axis=1, keepdims=True)
 
     counts = jax.lax.fori_loop(0, n_blocks, block_step, jnp.zeros((tq, 1), jnp.float32))
     out_ref[:] = counts
@@ -106,20 +112,30 @@ def _radius_kernel(q_ref, c_ref, v_ref, out_ref, *, cb: int, c_total: int, r2: f
 
 @functools.partial(jax.jit, static_argnames=("radius", "tq", "cb"))
 def radius_counts_pallas(
-    xyz: jnp.ndarray, valid: jnp.ndarray, radius: float, tq: int = 256, cb: int = 2048
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    tq: int = 256,
+    cb: int = 2048,
+    weights: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Exact within-radius neighbor counts (self included), 0 on invalid rows
     — identical semantics to ops.neighbors.radius_counts, but the (C, C)
     distance matrix never leaves VMEM (the XLA scan writes each
     (C, block) cross tile through HBM — the profiled hot spot of the road
-    chain at 45 ms/batch-8)."""
+    chain at 45 ms/batch-8).
+
+    weights: optional per-candidate f32 contributions replacing the 0/1
+    validity count (density compensation, neighbors.radius_outlier_filter);
+    when given the return is the weighted f32 sum, else int32 counts."""
     c_total = xyz.shape[0]
     if c_total % tq or c_total % cb:
         raise ValueError(f"capacity {c_total} must be a multiple of tq={tq}, cb={cb}")
 
+    w = valid.astype(jnp.float32) if weights is None else weights.astype(jnp.float32)
     planes = jnp.zeros((8, c_total), jnp.float32)
     planes = planes.at[0:3].set(jnp.where(valid[None, :], xyz.T, 0.0))
-    vplane = jnp.broadcast_to(valid.astype(jnp.float32)[None, :], (8, c_total))
+    vplane = jnp.broadcast_to(w[None, :], (8, c_total))
 
     kernel = functools.partial(
         _radius_kernel, cb=cb, c_total=c_total, r2=float(radius) ** 2
@@ -136,7 +152,9 @@ def radius_counts_pallas(
         out_shape=jax.ShapeDtypeStruct((c_total, 1), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(jnp.where(valid[:, None], xyz, 0.0).astype(jnp.float32), planes, vplane)
-    return jnp.where(valid, out[:, 0].astype(jnp.int32), 0)
+    if weights is None:
+        return jnp.where(valid, out[:, 0].astype(jnp.int32), 0)
+    return jnp.where(valid, out[:, 0], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "cb"))

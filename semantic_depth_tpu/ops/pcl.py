@@ -400,15 +400,63 @@ def distance_3d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def select_slab_priority(
+    cloud: MaskedCloud, capacity: int, axis: int, lo, hi
+) -> Tuple[MaskedCloud, jnp.ndarray]:
+    """Reduce the validity mask to at most ~``capacity`` points, keeping ALL
+    points with coord in (lo, hi) — the road-width endpoint slab — and an
+    even stride-subsample of the rest.
+
+    Endpoints are min/max-x queries over the slab (road_endpoints): a uniform
+    subsample recedes them by ~stride pixels, so the slab must survive
+    compaction at full density; only the out-of-slab bulk (which exists for
+    neighbor counting) is subsampled. Returns (masked cloud, out_stride);
+    out_stride is 1 when nothing overflows, making the selection a no-op.
+    Callers weight out-of-slab candidates by out_stride in density-based
+    counts (neighbors.radius_outlier_filter weights)."""
+    x = cloud.xyz[:, axis]
+    in_slab = cloud.valid & (x > lo) & (x < hi)
+    out = cloud.valid & ~in_slab
+    n_in = jnp.sum(in_slab.astype(jnp.int32))
+    n_out = jnp.sum(out.astype(jnp.int32))
+    room = jnp.maximum(capacity - n_in, 1)
+    stride_out = jnp.maximum((n_out + room - 1) // room, 1)
+    out_idx = jnp.cumsum(out.astype(jnp.int32)) - 1
+    sel = in_slab | (out & (out_idx % stride_out == 0))
+    return cloud.with_mask(sel), stride_out
+
+
+def compact_stride(cloud: MaskedCloud, capacity: int) -> jnp.ndarray:
+    """The subsampling stride ``compact`` uses for this cloud: 1 when the
+    valid count fits ``capacity``, else ceil(n / capacity). Callers that
+    compare neighbor COUNTS against reference thresholds (the radius outlier
+    filter) divide by this to stay on the reference's density scale."""
+    n = cloud.count()
+    return jnp.maximum((n + capacity - 1) // capacity, 1)
+
+
 def compact(cloud: MaskedCloud, capacity: int) -> MaskedCloud:
-    """Pack valid points into the first ``capacity`` slots via a cumsum
-    scatter (O(N), no sort). Overflowing points are dropped — callers size
-    ``capacity`` so this only truncates pathological frames."""
-    idx = jnp.cumsum(cloud.valid.astype(jnp.int32)) - 1
-    keep = cloud.valid & (idx < capacity)
-    dst = jnp.where(keep, idx, capacity)  # out-of-range rows dropped by scatter
-    xyz = jnp.zeros((capacity, 3), cloud.xyz.dtype).at[dst].set(cloud.xyz, mode="drop")
-    rgb = jnp.zeros((capacity, 3), cloud.rgb.dtype).at[dst].set(cloud.rgb, mode="drop")
-    n = jnp.minimum(cloud.count(), capacity)
-    valid = jnp.arange(capacity) < n
-    return MaskedCloud(xyz=xyz, rgb=rgb, valid=valid)
+    """Pack valid points into the first ``capacity`` slots, preserving order.
+
+    Built on GATHERS, not scatter (TPU scatters serialize: the previous
+    scatter formulation cost 12.6 ms/batch-8 at N=131072; the cumsum +
+    binary-search gather replacing it is ~10x cheaper): ``src[j]`` = index of
+    the j-th kept valid point, found by searchsorted over the inclusive
+    cumsum of the validity mask.
+
+    When more than ``capacity`` points are valid, every ``stride``-th valid
+    point is kept (stride = ceil(n / capacity)) — an even spatial subsample,
+    NOT a truncation (the old first-capacity behavior kept only the top
+    image rows, i.e. the farthest road). ``compact_stride`` exposes the
+    stride so count-based callers can compensate."""
+    csum = jnp.cumsum(cloud.valid.astype(jnp.int32))  # inclusive; csum[-1] = n
+    n = csum[-1]
+    stride = jnp.maximum((n + capacity - 1) // capacity, 1)
+    kept = (n + stride - 1) // stride
+    # j-th kept point is the (j*stride)-th valid point (0-based): its source
+    # row is the first index where csum reaches j*stride + 1.
+    targets = jnp.arange(capacity, dtype=jnp.int32) * stride + 1
+    src = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
+    src = jnp.minimum(src, cloud.capacity - 1)  # rows past n: inert garbage
+    valid = jnp.arange(capacity) < kept
+    return MaskedCloud(xyz=cloud.xyz[src], rgb=cloud.rgb[src], valid=valid)

@@ -67,40 +67,77 @@ class FrameOutputs:
     fence_right_valid: jnp.ndarray  # (h*w,) bool
 
 
+_REF_H, _REF_W = 256, 512  # the reference networks' working resolution
+
+
 def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
     """Road denoise chain (semantic_depth.py:206-245).
 
     grid_hw: when the cloud is a back-projected image grid, its (H, W) —
     enables the windowed-stencil statistical filter (cfg.road.stat_mode ==
     'grid'), which replaces the O(N^2) top-k pass with O(N * window) math.
+
+    The radius outlier filter's neighbor counts are kept on the REFERENCE's
+    density scale: counts measured on a stride-subsampled (compacted) cloud
+    are multiplied back by the stride, and counts measured on a denser-than
+    -256x512 grid (the native full-res mode) are divided by the pixel ratio,
+    so the reference's ``nb_points=80 within 0.5 m`` criterion
+    (semantic_depth.py:238) means the same physical density everywhere.
     """
     rc = cfg.road
     cloud = pcl.keep_beyond(cloud, 2, rc.z_keep_beyond)
     cloud = pcl.mad_filter(cloud, rc.mad_y.axis, rc.mad_y.threshold)
     cloud = pcl.mad_filter(cloud, rc.mad_x.axis, rc.mad_x.threshold)
     cloud, road_plane = pcl.plane_inlier_filter(cloud, rc.plane.axis, rc.plane.threshold)
+    px_scale = 1.0
+    if grid_hw is not None:
+        px_scale = (grid_hw[0] * grid_hw[1]) / float(_REF_H * _REF_W)
+    # Overflow compaction keeps the ROAD-WIDTH SLAB at full density (its
+    # min/max-x points ARE the output) and stride-subsamples the rest; the
+    # radius cut then weights each candidate by its sampling stride so the
+    # nb_points threshold keeps the reference's 256x512-density meaning.
+    depth_rw = cfg.depth - cfg.rw_depth_offset
+    slab_lo = -(depth_rw + cfg.rw_slab_halfwidth)
+    slab_hi = -(depth_rw - cfg.rw_slab_halfwidth)
+
+    def compact_slab_aware(c):
+        sel, stride_out = pcl.select_slab_priority(
+            c, rc.neighbor_capacity, 2, slab_lo, slab_hi
+        )
+        packed = pcl.compact(sel, rc.neighbor_capacity)
+        z = packed.xyz[:, 2]
+        in_slab = packed.valid & (z > slab_lo) & (z < slab_hi)
+        w = jnp.where(in_slab, 1.0, stride_out.astype(jnp.float32)) / px_scale
+        return packed, jnp.where(packed.valid, w, 0.0)
+
     if rc.stat_mode == "grid" and grid_hw is not None:
         h, w = grid_hw
-        # The window is tuned for 256x512 (matches the exact filter to
-        # <0.1% there); at finer resolutions the same METRIC neighborhood
-        # spans proportionally more pixels, so scale it (kept odd).
-        wh = max(3, int(round(rc.stat_window[0] * h / 256)) | 1)
-        ww = max(3, int(round(rc.stat_window[1] * w / 512)) | 1)
+        # FIXED window at every resolution. The kNN ball SHRINKS as the grid
+        # densifies (a pixel's k nearest valid points are its immediate grid
+        # neighbors at any resolution), so the 256x512-tuned window stays a
+        # superset of the true k-neighborhood on finer grids. Verified on
+        # TPU at 512x1024: (5,21) vs (7,31) leave finite-masks identical and
+        # filter keep-sets within 0.004%. The previous linear scaling
+        # ballooned the stencil ~64x at 1024x2048 (160 ms/frame) and its
+        # >= (7,31)-at-512x1024 variants exceed Mosaic's 16 MB VMEM stack.
         new_valid = neighbors.statistical_outlier_filter_grid(
             cloud.xyz.reshape(h, w, 3),
             cloud.valid.reshape(h, w),
             rc.stat_nb_neighbors,
             rc.stat_std_ratio,
-            (wh, ww),
+            rc.stat_window,
         )
         cloud = cloud.with_mask(new_valid.reshape(-1))
-        cloud = pcl.compact(cloud, rc.neighbor_capacity)
+        cloud, weights = compact_slab_aware(cloud)
     else:
-        cloud = pcl.compact(cloud, rc.neighbor_capacity)
+        cloud, weights = compact_slab_aware(cloud)
         cloud = neighbors.statistical_outlier_filter(
             cloud, rc.stat_nb_neighbors, rc.stat_std_ratio
         )
-    cloud = neighbors.radius_outlier_filter(cloud, rc.radius_nb_points, rc.radius)
+        weights = jnp.where(cloud.valid, weights, 0.0)
+    cloud = neighbors.radius_outlier_filter(
+        cloud, rc.radius_nb_points, rc.radius, weights=weights
+    )
     return cloud, road_plane
 
 
@@ -126,6 +163,30 @@ def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineCon
     right_pt = pcl.planes_intersection_at_depth(road_plane, right_plane, cfg.depth)
     dist = pcl.distance_3d(left_pt, right_pt)
     return left, right, left_plane, right_plane, left_pt, right_pt, dist
+
+
+def _scaled_camera(cfg: PipelineConfig, focal):
+    """Intrinsics at the pipeline's working resolution.
+
+    The reference camera presets are calibrated for its fixed 256x512
+    network input (semantic_depth.py:592-607). Running the networks at
+    another resolution (the native full-res mode) scales cx and the focal
+    with width and cy with height so the back-projected cloud is the same
+    physical scene; the caller must also scale the disparity multiplier by
+    the returned width factor (disparity pixels scale with image width). At
+    256x512 every factor is exactly 1.0 — bit-identical to the unscaled
+    path. Focal uses the width factor (the CLIs preserve the reference's
+    2:1 aspect, so width and height factors agree).
+    """
+    s_w = cfg.input_width / float(_REF_W)
+    s_h = cfg.input_height / float(_REF_H)
+    cam = dataclasses.replace(
+        cfg.camera,
+        focal=focal * s_w,
+        cx=cfg.camera.cx * s_w,
+        cy=cfg.camera.cy * s_h,
+    )
+    return cam, s_w
 
 
 class SemanticDepthPipeline:
@@ -192,13 +253,13 @@ class SemanticDepthPipeline:
     ) -> FrameOutputs:
         cfg = self.config
         h, w = cfg.input_height, cfg.input_width
-        cam = dataclasses.replace(cfg.camera, focal=focal)
+        cam, s_w = _scaled_camera(cfg, focal)
 
         # frames may arrive uint8 (the camera payload — 4x cheaper on the
         # host->device link); all math is f32 from here.
         frame_small = resize_clip_u8(frame.astype(jnp.float32), (h, w))
         road_mask, fence_mask, _ = self.segment(fcn_params, frame_small)
-        disparity = self.disparity(mono_params, frame_small, disparity_mult)
+        disparity = self.disparity(mono_params, frame_small, disparity_mult * s_w)
         points3d = camera_lib.reproject_disparity(disparity, cam)
         colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
 
@@ -268,7 +329,7 @@ class SemanticDepthPipeline:
         seq:689-701)."""
         cfg = self.config
         h, w = cfg.input_height, cfg.input_width
-        cam = dataclasses.replace(cfg.camera, focal=focal)
+        cam, s_w = _scaled_camera(cfg, focal)
 
         frames = frames.astype(jnp.float32)  # uint8 camera payloads welcome
         small = jax.vmap(lambda f: resize_clip_u8(f, (h, w)))(frames)  # (B, h, w, 3)
@@ -284,7 +345,7 @@ class SemanticDepthPipeline:
         flip_batch = jnp.concatenate([norm, norm[:, :, ::-1, :]], axis=0)  # (2B, h, w, 3)
         disp_all = self.mono.apply(mono_params, flip_batch, method=self.mono.disp_left)
         pairs = jnp.stack([disp_all[:b], disp_all[b:]], axis=1)  # (B, 2, h, w)
-        disps = jax.vmap(flip_average_postprocess)(pairs) * disparity_mult
+        disps = jax.vmap(flip_average_postprocess)(pairs) * (disparity_mult * s_w)
 
         def geometry(frame_small, road_mask, fence_mask, disparity):
             points3d = camera_lib.reproject_disparity(disparity, cam)
@@ -385,7 +446,7 @@ class SemanticDepthPipeline:
         times = {}
         frame = jnp.asarray(frame)
         focal = jnp.float32(focal)
-        mult = jnp.float32(disparity_mult)
+        mult = jnp.float32(disparity_mult * (w / float(_REF_W)))
 
         def sync(x):
             jax.block_until_ready(x)
@@ -455,7 +516,7 @@ class SemanticDepthPipeline:
         h, w = cfg.input_height, cfg.input_width
 
         def to3d(disparity, focal):
-            cam = dataclasses.replace(cfg.camera, focal=focal)
+            cam, _ = _scaled_camera(cfg, focal)
             return camera_lib.reproject_disparity(disparity, cam)
 
         def road_stage(points3d, frame_small, road_mask):

@@ -58,3 +58,33 @@ def test_linear_resize_close_to_cv2():
     want = cv2.resize(img, (120, 80), interpolation=cv2.INTER_LINEAR).astype(np.float32)
     got = np.asarray(resize.resize_clip_u8(img.astype(np.float32), (80, 120), method="linear"))
     assert np.mean(np.abs(got - want)) < 0.2
+
+
+def test_scaled_camera_resolution_consistency():
+    """The native full-res mode back-projects the SAME physical scene as the
+    reference-resolution path: intrinsics scale with resolution and the
+    disparity multiplier scales with width (pipeline._scaled_camera)."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu import camera as camera_lib
+    from semantic_depth_tpu.config import munich_pipeline_config
+    from semantic_depth_tpu.pipeline import _scaled_camera
+
+    cfg1 = munich_pipeline_config()  # 256x512 (reference resolution)
+    cfg2 = munich_pipeline_config(input_height=512, input_width=1024)
+    cam1, s1 = _scaled_camera(cfg1, jnp.float32(380.0))
+    cam2, s2 = _scaled_camera(cfg2, jnp.float32(380.0))
+    assert s1 == 1.0 and s2 == 2.0
+    # the 256x512 path must be bit-identical to the unscaled camera
+    assert float(cam1.cx) == cfg1.camera.cx and float(cam1.cy) == cfg1.camera.cy
+
+    rng = np.random.default_rng(0)
+    d1 = rng.uniform(0.01, 0.3, size=(256, 512)).astype(np.float32)
+    d2 = np.kron(d1, np.ones((2, 2), np.float32))  # same normalized field
+    mult = 2048.0  # reference: original frame width
+    p1 = np.asarray(camera_lib.reproject_disparity(jnp.asarray(d1 * mult), cam1))
+    p2 = np.asarray(
+        camera_lib.reproject_disparity(jnp.asarray(d2 * (mult * s2)), cam2)
+    )
+    # co-located pixels -> identical physical points
+    np.testing.assert_allclose(p2[::2, ::2], p1, rtol=1e-5, atol=1e-5)

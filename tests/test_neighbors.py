@@ -170,3 +170,62 @@ def test_grid_statistical_matches_exact_on_road_scene():
     n_exact = int(exact.count())
     # identical keep-counts up to a tiny tolerance (window truncation)
     assert abs(n_grid - n_exact) <= max(5, 0.005 * n_exact), (n_grid, n_exact)
+
+
+def test_radius_filter_weighted():
+    """Per-candidate weights compensate subsampled/denser-grid densities:
+    all-ones weights are bit-identical to the unweighted cut; weight w makes
+    each in-radius candidate contribute w to the > nb_points comparison."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    xyz = rng.normal(size=(256, 3)).astype(np.float32)
+    cloud = pcl.MaskedCloud(
+        xyz=jnp.asarray(xyz), rgb=jnp.zeros((256, 3)), valid=jnp.ones(256, bool)
+    )
+    base = neighbors.radius_outlier_filter(cloud, 10, 1.0)
+    ones = jnp.ones((256,), jnp.float32)
+    same = neighbors.radius_outlier_filter(cloud, 10, 1.0, weights=ones)
+    np.testing.assert_array_equal(np.asarray(base.valid), np.asarray(same.valid))
+
+    counts = np.asarray(neighbors.radius_counts(cloud, 1.0, block_size=256))
+    scaled = neighbors.radius_outlier_filter(cloud, 10, 1.0, weights=ones * 3.0)
+    np.testing.assert_array_equal(np.asarray(scaled.valid), counts * 3.0 > 10)
+
+    # mixed weights: weighted count = sum of weights of in-radius candidates
+    w = jnp.asarray(rng.uniform(0.5, 4.0, size=(256,)).astype(np.float32))
+    got = neighbors.radius_outlier_filter(cloud, 10, 1.0, weights=w)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    est = np.where(d2 <= 1.0, np.asarray(w)[None, :], 0.0).sum(1)
+    np.testing.assert_array_equal(np.asarray(got.valid), est > 10)
+
+
+def test_select_slab_priority():
+    """Slab points all survive selection; the rest is an even subsample
+    sized to the remaining capacity."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    n = 1000
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * [3, 1, 10]
+    cloud = pcl.MaskedCloud(
+        xyz=jnp.asarray(xyz), rgb=jnp.zeros((n, 3)), valid=jnp.ones(n, bool)
+    )
+    lo, hi = -12.0, -8.0
+    sel, stride = pcl.select_slab_priority(cloud, 256, 2, lo, hi)
+    in_slab = (xyz[:, 2] > lo) & (xyz[:, 2] < hi)
+    sel_np = np.asarray(sel.valid)
+    assert sel_np[in_slab].all(), "slab points must all be kept"
+    n_out = int((~in_slab).sum())
+    room = 256 - int(in_slab.sum())
+    expect_stride = -(-n_out // room)
+    assert int(stride) == expect_stride
+    # out-of-slab kept points: every stride-th by valid order
+    out_sel = sel_np[~in_slab]
+    assert out_sel.sum() == -(-n_out // expect_stride)
+    assert int(sel_np.sum()) <= 256
+
+    # no overflow -> selection is a no-op
+    sel2, stride2 = pcl.select_slab_priority(cloud, 2048, 2, lo, hi)
+    assert int(stride2) == 1
+    assert np.asarray(sel2.valid).all()

@@ -167,10 +167,28 @@ def test_compact_packs_points():
     assert v[:100].all() and not v[100:].any()
 
 
-def test_compact_truncates_overflow():
+def test_compact_overflow_stride_subsamples():
+    """Overflow keeps every ceil(n/cap)-th valid point (an even spatial
+    subsample), not the first cap points (which would keep only the top
+    image rows). compact_stride reports the stride for count compensation."""
     cloud, pts, cols, _ = make_cloud(seed=9, n=100, capacity=256)
     out = pcl.compact(cloud, 64)
-    assert int(out.count()) == 64
+    # n=100, cap=64 -> stride 2 -> 50 kept: valid points 0, 2, 4, ...
+    assert int(pcl.compact_stride(cloud, 64)) == 2
+    assert int(out.count()) == 50
+    got_p, _ = extract(out)
+    order = np.asarray(cloud.valid)
+    src = np.flatnonzero(order)[::2]
+    np.testing.assert_array_equal(got_p, np.asarray(cloud.xyz)[src])
+
+
+def test_compact_stride_one_is_identity_packing():
+    cloud, pts, cols, _ = make_cloud(seed=10, n=60, capacity=256)
+    assert int(pcl.compact_stride(cloud, 64)) == 1
+    out = pcl.compact(cloud, 64)
+    got_p, _ = extract(out)
+    src = np.flatnonzero(np.asarray(cloud.valid))
+    np.testing.assert_array_equal(got_p, np.asarray(cloud.xyz)[src])
 
 
 def test_masked_median_radix_select_fuzz():

@@ -152,9 +152,8 @@ def main():
     timed(f"road medians+plane only (vmap {B})", chain(med_chain_op, K), pts,
           small, road_masks, per=K)
 
-    # knn grid stat filter alone
-    wh = max(3, int(round(cfg.road.stat_window[0] * h / 256)) | 1)
-    ww = max(3, int(round(cfg.road.stat_window[1] * w / 512)) | 1)
+    # knn grid stat filter alone (fixed window at every resolution)
+    wh, ww = cfg.road.stat_window
 
     def knn_op(p, rm, carry):
         def one(p3d, m):
