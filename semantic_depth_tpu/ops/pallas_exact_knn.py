@@ -84,33 +84,52 @@ def _exact_knn_kernel(q_ref, c_ref, v_ref, out_ref, *, k: int, cb: int, c_total:
     out_ref[:] = acc / jnp.float32(k)
 
 
-def _radius_kernel(q_ref, c_ref, v_ref, out_ref, *, cb: int, c_total: int, r2: float):
+def _radius_kernel(q_ref, c_ref, v_ref, bz_ref, out_ref, *, cb: int, c_total: int,
+                   r2: float):
     """v_ref row 0 carries per-candidate WEIGHTS (1.0 for plain validity);
     a candidate within the radius contributes its weight — the
-    density-compensated count of neighbors.radius_outlier_filter."""
+    density-compensated count of neighbors.radius_outlier_filter.
+
+    bz_ref (SMEM, (2, n_blocks)) holds each candidate block's valid-z
+    min/max: compacted clouds keep image row-major order, so z is
+    near-monotone and most blocks lie further than ``radius`` from a query
+    tile's z-range — those blocks are skipped entirely (exact: a skipped
+    block provably contains no point within ``radius`` of any query).
+    Invalid query rows are pre-filled with a real point by the wrapper so
+    the tile z-range stays tight."""
     q = q_ref[:]  # (TQ, 3)
     tq = q.shape[0]
     sq_q = jnp.sum(q * q, axis=1, keepdims=True)
+    qz_min = jnp.min(q[:, 2])
+    qz_max = jnp.max(q[:, 2])
     n_blocks = c_total // cb
 
     def block_step(j, counts):
-        c = c_ref[0:3, pl.ds(j * cb, cb)]
-        v = v_ref[0:1, pl.ds(j * cb, cb)]
-        sq_c = jnp.sum(c * c, axis=0, keepdims=True)
-        cross = jax.lax.dot_general(
-            q, c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d2 = jnp.maximum(sq_q + sq_c - 2.0 * cross, 0.0)
-        contrib = jnp.where(d2 <= r2, v, 0.0)
-        return counts + jnp.sum(contrib, axis=1, keepdims=True)
+        # bz rows are pre-widened by radius + a Gram-identity f32 error
+        # margin in the wrapper, so this compare is directly against the
+        # query tile's raw z-range.
+        overlap = (bz_ref[0, j] <= qz_max) & (bz_ref[1, j] >= qz_min)
+
+        def compute(acc):
+            c = c_ref[0:3, pl.ds(j * cb, cb)]
+            v = v_ref[0:1, pl.ds(j * cb, cb)]
+            sq_c = jnp.sum(c * c, axis=0, keepdims=True)
+            cross = jax.lax.dot_general(
+                q, c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d2 = jnp.maximum(sq_q + sq_c - 2.0 * cross, 0.0)
+            contrib = jnp.where(d2 <= r2, v, 0.0)
+            return acc + jnp.sum(contrib, axis=1, keepdims=True)
+
+        return jax.lax.cond(overlap, compute, lambda acc: acc, counts)
 
     counts = jax.lax.fori_loop(0, n_blocks, block_step, jnp.zeros((tq, 1), jnp.float32))
     out_ref[:] = counts
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "tq", "cb"))
+@functools.partial(jax.jit, static_argnames=("radius", "tq", "cb", "skip"))
 def radius_counts_pallas(
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
@@ -118,6 +137,7 @@ def radius_counts_pallas(
     tq: int = 256,
     cb: int = 2048,
     weights: jnp.ndarray = None,
+    skip: bool = True,
 ) -> jnp.ndarray:
     """Exact within-radius neighbor counts (self included), 0 on invalid rows
     — identical semantics to ops.neighbors.radius_counts, but the (C, C)
@@ -137,6 +157,31 @@ def radius_counts_pallas(
     planes = planes.at[0:3].set(jnp.where(valid[None, :], xyz.T, 0.0))
     vplane = jnp.broadcast_to(w[None, :], (8, c_total))
 
+    # Per-block valid-z ranges for the kernel's block-skip test, pre-widened
+    # by the radius PLUS a Gram-identity f32 error bound: d2 is computed as
+    # sq_q + sq_c - 2 cross, whose rounding error scales with the largest
+    # |coord|^2, so a pair geometrically just outside the radius can still
+    # satisfy d2 <= r2. Widening by sqrt(r^2 + 4e-6 * max|p|^2) - ... keeps
+    # skipped blocks provably uncountable under BOTH paths — the kernel
+    # stays bit-identical to the unskipped XLA counts. An all-invalid block
+    # gets (+inf, -inf) and is always skipped.
+    n_blocks = c_total // cb
+    maxsq = jnp.max(jnp.where(valid, jnp.sum(xyz * xyz, axis=1), 0.0))
+    zthr = jnp.sqrt(jnp.float32(radius) ** 2 + 4e-6 * maxsq)
+    if not skip:  # debug/validation: disable block skipping entirely
+        zthr = jnp.float32(jnp.inf)
+    zc = xyz[:, 2].reshape(n_blocks, cb)
+    vb = valid.reshape(n_blocks, cb)
+    bz = jnp.stack([
+        jnp.min(jnp.where(vb, zc, jnp.inf), axis=1) - zthr,
+        jnp.max(jnp.where(vb, zc, -jnp.inf), axis=1) + zthr,
+    ])  # (2, n_blocks)
+
+    # Queries: invalid rows take the first point's coords (not zeros) so a
+    # partially-valid tile's z-range is not inflated toward 0; any fill from
+    # a real point keeps the skip test conservative-exact.
+    q_xyz = jnp.where(valid[:, None], xyz, xyz[0]).astype(jnp.float32)
+
     kernel = functools.partial(
         _radius_kernel, cb=cb, c_total=c_total, r2=float(radius) ** 2
     )
@@ -147,11 +192,12 @@ def radius_counts_pallas(
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c_total, 1), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.where(valid[:, None], xyz, 0.0).astype(jnp.float32), planes, vplane)
+    )(q_xyz, planes, vplane, bz)
     if weights is None:
         return jnp.where(valid, out[:, 0].astype(jnp.int32), 0)
     return jnp.where(valid, out[:, 0], 0.0)

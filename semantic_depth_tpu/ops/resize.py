@@ -79,6 +79,13 @@ def resize(img: jnp.ndarray, out_hw, method: str = "cubic") -> jnp.ndarray:
     if squeeze:
         img = img[:, :, None]
     src_h, src_w, _ = img.shape
+    if (out_h, out_w) == (src_h, src_w) and method in ("cubic", "linear"):
+        # Scale 1 under the half-pixel mapping lands exactly on source
+        # pixels (frac = 0 -> identity interpolation matrices), so the
+        # matmuls are identity: skip them (the native full-res path
+        # otherwise paid ~5 ms/frame multiplying by identity matrices).
+        out = img.astype(jnp.float32)
+        return out[:, :, 0] if squeeze else out
     wr = jnp.asarray(_interp_matrix(src_h, out_h, method))
     wc = jnp.asarray(_interp_matrix(src_w, out_w, method))
     x = img.astype(jnp.float32)
