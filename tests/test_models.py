@@ -80,3 +80,31 @@ def test_monodepth_deconv_variant_shapes():
     assert len(disps) == 4
     for i, d in enumerate(disps):
         assert d.shape == (2, 128 // 2**i, 256 // 2**i, 2), (i, d.shape)
+
+
+def test_monodepth_s2d_matches_plain():
+    """The space-to-depth evaluation (s2d_opt) is an exact kernel
+    rearrangement: identical parameter tree and outputs equal to the plain
+    path up to f32 summation order, at every pyramid scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.models import Monodepth
+
+    rng = np.random.default_rng(0)
+    h, w, b = 128, 256, 2
+    x = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)), jnp.float32)
+    plain = Monodepth(encoder="vgg", compute_dtype=jnp.float32, s2d_opt=False)
+    fast = Monodepth(encoder="vgg", compute_dtype=jnp.float32, s2d_opt=True)
+    p1 = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    p2 = fast.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    assert jax.tree_util.tree_map(lambda a: a.shape, p1) == jax.tree_util.tree_map(
+        lambda a: a.shape, p2
+    )
+    d_plain = plain.apply(p1, x)
+    d_fast = fast.apply(p1, x)  # SAME params through the transformed path
+    assert len(d_plain) == len(d_fast) == 4
+    for a, b2 in zip(d_plain, d_fast):
+        assert a.shape == b2.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=2e-5, atol=2e-6)
