@@ -438,25 +438,33 @@ def compact_stride(cloud: MaskedCloud, capacity: int) -> jnp.ndarray:
 def compact(cloud: MaskedCloud, capacity: int) -> MaskedCloud:
     """Pack valid points into the first ``capacity`` slots, preserving order.
 
-    Built on GATHERS, not scatter (TPU scatters serialize: the previous
-    scatter formulation cost 12.6 ms/batch-8 at N=131072; the cumsum +
-    binary-search gather replacing it is ~10x cheaper): ``src[j]`` = index of
-    the j-th kept valid point, found by searchsorted over the inclusive
-    cumsum of the validity mask.
+    The index plumbing is one 4-byte scatter of ROW NUMBERS into the
+    ``capacity`` destination slots (destinations are provably unique — kept
+    ranks for kept rows, capacity+row for everything else, the latter
+    dropped as out-of-range — so XLA takes its fast unique-indices path)
+    followed by payload gathers. Scattering the 24-byte xyz+rgb payloads
+    directly cost 12.6 ms/batch-8 at N=131072; a searchsorted formulation
+    cost 21 ms (binary-search while-loop); this runs in a few ms.
 
     When more than ``capacity`` points are valid, every ``stride``-th valid
     point is kept (stride = ceil(n / capacity)) — an even spatial subsample,
     NOT a truncation (the old first-capacity behavior kept only the top
     image rows, i.e. the farthest road). ``compact_stride`` exposes the
     stride so count-based callers can compensate."""
-    csum = jnp.cumsum(cloud.valid.astype(jnp.int32))  # inclusive; csum[-1] = n
+    n_rows = cloud.capacity
+    v = cloud.valid
+    csum = jnp.cumsum(v.astype(jnp.int32))  # inclusive; csum[-1] = n
     n = csum[-1]
     stride = jnp.maximum((n + capacity - 1) // capacity, 1)
     kept = (n + stride - 1) // stride
-    # j-th kept point is the (j*stride)-th valid point (0-based): its source
-    # row is the first index where csum reaches j*stride + 1.
-    targets = jnp.arange(capacity, dtype=jnp.int32) * stride + 1
-    src = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
-    src = jnp.minimum(src, cloud.capacity - 1)  # rows past n: inert garbage
+    idx = csum - 1  # rank among valid points (meaningful on valid rows)
+    keep = v & (idx % stride == 0)
+    rows = jnp.arange(n_rows, dtype=jnp.int32)
+    dst = jnp.where(keep, idx // stride, capacity + rows)  # unique everywhere
+    src = (
+        jnp.zeros((capacity,), jnp.int32)
+        .at[dst]
+        .set(rows, mode="drop", unique_indices=True)
+    )
     valid = jnp.arange(capacity) < kept
     return MaskedCloud(xyz=cloud.xyz[src], rgb=cloud.rgb[src], valid=valid)
