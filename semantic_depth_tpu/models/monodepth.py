@@ -165,7 +165,7 @@ class Monodepth(nn.Module):
         x = images.astype(self.compute_dtype)
         use_s2d = (
             self.s2d_opt
-            and self.encoder == "vgg"
+            and self.encoder in ("vgg", "resnet50")
             and not self.use_deconv
             and images.shape[1] % 4 == 0
             and images.shape[2] % 4 == 0
@@ -224,7 +224,7 @@ class Monodepth(nn.Module):
         return disps
 
     def _call_s2d(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        """vgg forward with the stem and decoder levels 2/1 evaluated on the
+        """Forward with the stem and decoder levels 2/1 evaluated on the
         space-to-depth grid (exact kernel rearrangement — see ops/s2d.py and
         the s2d_opt field). Identical parameter tree to the plain path.
         Runs inside __call__'s compact scope."""
@@ -232,31 +232,48 @@ class Monodepth(nn.Module):
         ch32 = self._ch(32)
         ch16 = self._ch(16)
 
-        # --- stem: conv1a (7x7 s1) + conv1b (7x7 s2) on the s2d grid ---
-        ka, ba = _ConvP(ch32, 7, 3, name="enc1a")()
-        kb, bb = _ConvP(ch32, 7, ch32, name="enc1b")()
-        xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
-        h1 = nn.elu(s2d_ops.s2d_conv([(xs, 3)], ka, ba, 7))  # phases of conv1a
-        conv1 = nn.elu(
-            s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, phase_out=False)
-        )  # (B, H/2, W/2, ch32) == plain conv1
+        if self.encoder == "vgg":
+            # --- stem: conv1a (7x7 s1) + conv1b (7x7 s2) on the s2d grid ---
+            ka, ba = _ConvP(ch32, 7, 3, name="enc1a")()
+            kb, bb = _ConvP(ch32, 7, ch32, name="enc1b")()
+            xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
+            h1 = nn.elu(s2d_ops.s2d_conv([(xs, 3)], ka, ba, 7))  # conv1a phases
+            conv1 = nn.elu(
+                s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, phase_out=False)
+            )  # (B, H/2, W/2, ch32) == plain conv1
 
-        # --- encoder levels 2..7 unchanged (channels are MXU-wide there) ---
-        conv2 = self._conv_block(conv1, 64, 5, 2)
-        conv3 = self._conv_block(conv2, 128, 3, 3)
-        conv4 = self._conv_block(conv3, 256, 3, 4)
-        conv5 = self._conv_block(conv4, 512, 3, 5)
-        conv6 = self._conv_block(conv5, 512, 3, 6)
-        conv7 = self._conv_block(conv6, 512, 3, 7)
-        skips = [conv1, conv2, conv3, conv4, conv5, conv6]
-        dec_chs = [512, 512, 256, 128, 64, 32, 16]
+            # encoder levels 2..7 unchanged (channels are MXU-wide there)
+            conv2 = self._conv_block(conv1, 64, 5, 2)
+            conv3 = self._conv_block(conv2, 128, 3, 3)
+            conv4 = self._conv_block(conv3, 256, 3, 4)
+            conv5 = self._conv_block(conv4, 512, 3, 5)
+            conv6 = self._conv_block(conv5, 512, 3, 6)
+            bottom = self._conv_block(conv6, 512, 3, 7)
+            skips = [conv1, conv2, conv3, conv4, conv5, conv6]
+            dec_chs = [512, 512, 256, 128, 64, 32, 16]
+            n_ups = 7
+        else:  # resnet50: 7x7-s2 stem as one coarse conv on the s2d grid
+            ch64 = self._ch(64)
+            k1, b1 = _ConvP(ch64, 7, 3, name="enc1")()
+            xs = s2d_ops.space_to_depth(x)
+            conv1 = nn.elu(
+                s2d_ops.s2d_conv([(xs, 3)], k1, b1, 7, phase_out=False)
+            )  # (B, H/2, W/2, ch64) == plain enc1
+            pool1 = self._maxpool(conv1)
+            conv2 = self._resblock(pool1, 64, 3, "res2")
+            conv3 = self._resblock(conv2, 128, 4, "res3")
+            conv4 = self._resblock(conv3, 256, 6, "res4")
+            bottom = self._resblock(conv4, 512, 3, "res5")
+            skips = [conv1, pool1, conv2, conv3, conv4]
+            dec_chs = [512, 256, 128, 64, 32, 16]
+            n_ups = 6
 
-        # --- decoder levels 7..3 unchanged ---
+        # --- decoder levels n_ups..3 unchanged ---
         disps: List[jnp.ndarray] = []
-        xx = conv7
+        xx = bottom
         udisp = None
-        for level in range(7, 2, -1):
-            ch = dec_chs[7 - level]
+        for level in range(n_ups, 2, -1):
+            ch = dec_chs[n_ups - level]
             xx = self._upconv(xx, ch, f"upconv{level}")
             cat = [xx]
             skip_idx = level - 2
@@ -273,15 +290,17 @@ class Monodepth(nn.Module):
         disp3 = disps[-1]  # (B, H/4, W/4, 2) -> feeds level 2 via phases
 
         # --- level 2 on the s2d grid (fine = H/2, coarse = H/4) ---
+        skip1 = skips[0]  # conv1: ch32 for vgg, ch64 for resnet50 (at H/2)
+        skipc = skip1.shape[3]
         ku2, bu2 = _ConvP(ch32, 3, xx.shape[3], name="upconv2")()
         up2 = nn.elu(s2d_ops.upconv_s2d(xx, ku2, bu2, 3))  # (H/4, 4*ch32)
-        skip_s = s2d_ops.space_to_depth(conv1)  # (H/4, 4*ch32)
+        skip_s = s2d_ops.space_to_depth(skip1)  # (H/4, 4*skipc)
         # s2d(up_nn(disp3)) at the H/4 grid == disp3's channels replicated
         # across the 4 phases
         ud2 = s2d_ops.replicate_phases(disp3.astype(dt))
-        ki2, bi2 = _ConvP(ch32, 3, ch32 + ch32 + 2, name="iconv2")()
+        ki2, bi2 = _ConvP(ch32, 3, ch32 + skipc + 2, name="iconv2")()
         x2 = nn.elu(
-            s2d_ops.s2d_conv([(up2, ch32), (skip_s, ch32), (ud2, 2)], ki2, bi2, 3)
+            s2d_ops.s2d_conv([(up2, ch32), (skip_s, skipc), (ud2, 2)], ki2, bi2, 3)
         )  # (H/4, 4*ch32)
         kd2, bd2 = _ConvP(2, 3, ch32, name="disp2")()
         d2 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x2, ch32)], kd2, bd2, 3))

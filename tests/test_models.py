@@ -82,7 +82,8 @@ def test_monodepth_deconv_variant_shapes():
         assert d.shape == (2, 128 // 2**i, 256 // 2**i, 2), (i, d.shape)
 
 
-def test_monodepth_s2d_matches_plain():
+@pytest.mark.parametrize("encoder", ["vgg", "resnet50"])
+def test_monodepth_s2d_matches_plain(encoder):
     """The space-to-depth evaluation (s2d_opt) is an exact kernel
     rearrangement: identical parameter tree and outputs equal to the plain
     path up to f32 summation order, at every pyramid scale."""
@@ -94,8 +95,8 @@ def test_monodepth_s2d_matches_plain():
     rng = np.random.default_rng(0)
     h, w, b = 128, 256, 2
     x = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)), jnp.float32)
-    plain = Monodepth(encoder="vgg", compute_dtype=jnp.float32, s2d_opt=False)
-    fast = Monodepth(encoder="vgg", compute_dtype=jnp.float32, s2d_opt=True)
+    plain = Monodepth(encoder=encoder, compute_dtype=jnp.float32, s2d_opt=False)
+    fast = Monodepth(encoder=encoder, compute_dtype=jnp.float32, s2d_opt=True)
     p1 = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
     p2 = fast.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
