@@ -45,7 +45,7 @@ POOL_BATCHES = 4  # distinct device-resident scene batches, cycled
 FRAMES_PER_TRIAL = 104
 TRIALS = 3
 FULL_RES_BATCH = 2  # flip-batch doubles it; batch 4 OOMs 16 GB HBM alongside
-FULL_RES_FRAMES = 8  # the f32 geometry planes at 1024x2048
+FULL_RES_FRAMES = 16  # the f32 geometry planes at 1024x2048
 
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).
 _PEAK_TFLOPS = [
