@@ -113,3 +113,33 @@ def resize_clip_u8(img: jnp.ndarray, out_hw, method: str = "cubic") -> jnp.ndarr
     cv2.resize does to uint8 frames."""
     out = resize(img, out_hw, method)
     return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+def resize_np(img: np.ndarray, out_hw, method: str = "cubic") -> np.ndarray:
+    """Host-side numpy twin of ``resize``: the same interpolation matrices
+    applied with f32 tensordots on the CPU.
+
+    Data loaders must use this (or ``resize_clip_u8_np``): calling the jitted
+    ``resize`` under a TPU-default backend round-trips every single image
+    through the device — measured at ~0.9 s/step on the dev relay, 10x the
+    actual train step."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    squeeze = img.ndim == 2
+    x = img.astype(np.float32)
+    if squeeze:
+        x = x[:, :, None]
+    src_h, src_w, _ = x.shape
+    if (out_h, out_w) == (src_h, src_w):
+        out = x
+    else:
+        wr = _interp_matrix(src_h, out_h, method)
+        wc = _interp_matrix(src_w, out_w, method)
+        out = np.tensordot(wr, x, axes=([1], [0]))  # (out_h, src_w, C)
+        out = np.tensordot(out, wc, axes=([1], [1]))  # (out_h, C, out_w)
+        out = np.moveaxis(out, 2, 1)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_clip_u8_np(img: np.ndarray, out_hw, method: str = "cubic") -> np.ndarray:
+    """Host twin of ``resize_clip_u8`` (f32 values on the uint8 grid)."""
+    return np.clip(np.round(resize_np(img, out_hw, method)), 0.0, 255.0)

@@ -18,13 +18,41 @@ given a seed.
 from __future__ import annotations
 
 import os
+import queue
 import random
+import threading
 from glob import glob
 from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from ..ops.resize import resize_clip_u8
+from ..ops.resize import resize_clip_u8_np
+
+
+def _prefetched(it: Iterator, depth: int) -> Iterator:
+    """Run ``it`` in a daemon thread, keeping up to ``depth`` items ready;
+    producer exceptions are re-raised at the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
 
 
 def get_files_paths(gt_dir: str, imgs_dir: str) -> Tuple[List[str], List[str]]:
@@ -112,12 +140,11 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _resize_np(img: np.ndarray, shape_hw) -> np.ndarray:
-    """Host resize via the same MXU-compatible kernel (bilinear — matching
-    scipy.misc.imresize's default used at helper.py:232-233)."""
-    import jax.numpy as jnp
-
-    out = np.asarray(resize_clip_u8(jnp.asarray(img.astype(np.float32)), shape_hw, "linear"))
-    return out.astype(np.uint8)
+    """Host resize with the same interpolation matrices as the device kernel
+    (bilinear — matching scipy.misc.imresize's default, helper.py:232-233).
+    Pure numpy: the previous jnp call under a TPU-default backend shipped
+    EVERY training image through the dev relay (~0.9 s/step)."""
+    return resize_clip_u8_np(img, shape_hw, "linear").astype(np.uint8)
 
 
 class SegmentationDataset:
@@ -152,7 +179,18 @@ class SegmentationDataset:
         return len(imgs)
 
     def batches(
-        self, batch_size: int = 1, mode: str = "train"
+        self, batch_size: int = 1, mode: str = "train", prefetch: int = 2
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """One epoch of (images, one-hot gt) batches. With prefetch > 0 a
+        daemon thread prepares the next batches (decode + crop + jitter)
+        while the accelerator consumes the current one."""
+        if prefetch > 0:
+            yield from _prefetched(self._epoch(batch_size, mode), prefetch)
+        else:
+            yield from self._epoch(batch_size, mode)
+
+    def _epoch(
+        self, batch_size: int, mode: str
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         gt_dir, imgs_dir = self.dirs[mode]
         _, imgs_paths = get_files_paths(gt_dir, imgs_dir)

@@ -23,8 +23,6 @@ prefetcher so the TPU never waits on the loader.
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from glob import glob
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -122,12 +120,13 @@ class StereoDataset:
         return len(self.pairs)
 
     def _load(self, path: str) -> np.ndarray:
-        from ..ops.resize import resize_clip_u8
+        from ..ops.resize import resize_clip_u8_np
         from ..cli.common import imread_bgr
-        import jax.numpy as jnp
 
         img = imread_bgr(path)[:, :, ::-1].astype(np.float32)  # RGB
-        return np.asarray(resize_clip_u8(jnp.asarray(img), self.image_hw)) / np.float32(255.0)
+        # host-side resize: a jnp call here would ship every image through
+        # the accelerator (the loader runs under a TPU-default backend)
+        return resize_clip_u8_np(img, self.image_hw) / np.float32(255.0)
 
     def _epoch_batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self.rng.permutation(len(self.pairs))
@@ -148,27 +147,9 @@ class StereoDataset:
         """One shuffled epoch; with prefetch > 0 a daemon thread prepares the
         next ``prefetch`` batches while the accelerator consumes the current
         one (decode/jitter overlap device compute)."""
+        from .data import _prefetched
+
         if prefetch <= 0:
             yield from self._epoch_batches(batch_size)
             return
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        DONE = object()
-
-        def producer():
-            try:
-                for batch in self._epoch_batches(batch_size):
-                    q.put(batch)
-                q.put(DONE)
-            except BaseException as e:  # surface loader errors to the consumer
-                q.put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        yield from _prefetched(self._epoch_batches(batch_size), prefetch)

@@ -88,3 +88,25 @@ def test_scaled_camera_resolution_consistency():
     )
     # co-located pixels -> identical physical points
     np.testing.assert_allclose(p2[::2, ::2], p1, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_np_matches_device_resize():
+    """The host numpy resize (data-loader path) equals the jitted resize to
+    f32 rounding for both methods, including round/clip."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops import resize as rz
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(37, 61, 3)).astype(np.float32)
+    for method in ("cubic", "linear"):
+        dev = np.asarray(rz.resize_clip_u8(jnp.asarray(img), (19, 45), method))
+        host = rz.resize_clip_u8_np(img, (19, 45), method)
+        # identical matrices; tensordot vs MXU matmul may differ by one
+        # rounding step on exact-.5 boundaries
+        assert (dev != host).mean() < 0.01, method
+        np.testing.assert_allclose(host, dev, atol=1.0)
+    # same-size: exact identity
+    np.testing.assert_array_equal(
+        rz.resize_clip_u8_np(img, (37, 61)), np.clip(np.round(img), 0, 255)
+    )
