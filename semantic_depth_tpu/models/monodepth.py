@@ -233,23 +233,36 @@ class Monodepth(nn.Module):
         ch16 = self._ch(16)
 
         if self.encoder == "vgg":
-            # --- stem: conv1a (7x7 s1) + conv1b (7x7 s2) on the s2d grid ---
+            # --- stem + block 2 entirely on the s2d grid: every conv here
+            # has <= 64 channels, which runs at ~1/5 the MXU rate plain
+            # (measured 23 vs 102 TF/s); stride-2 layers keep their outputs
+            # PHASE-PACKED (s2d_conv stride=2) so lanes stay full end to end.
+            ch64 = self._ch(64)
             ka, ba = _ConvP(ch32, 7, 3, name="enc1a")()
             kb, bb = _ConvP(ch32, 7, ch32, name="enc1b")()
+            k2a, b2a = _ConvP(ch64, 5, ch32, name="enc2a")()
+            k2b, b2b = _ConvP(ch64, 5, ch64, name="enc2b")()
             xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
             h1 = nn.elu(s2d_ops.s2d_conv([(xs, 3)], ka, ba, 7))  # conv1a phases
-            conv1 = nn.elu(
-                s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, phase_out=False)
-            )  # (B, H/2, W/2, ch32) == plain conv1
+            c1s = nn.elu(
+                s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, stride=2)
+            )  # (B, H/4, W/4, 4*ch32) == s2d(conv1 @ H/2)
+            h2 = nn.elu(s2d_ops.s2d_conv([(c1s, ch32)], k2a, b2a, 5))
+            c2s = nn.elu(
+                s2d_ops.s2d_conv([(h2, ch64)], k2b, b2b, 5, stride=2)
+            )  # (B, H/8, W/8, 4*ch64) == s2d(conv2 @ H/4)
+            conv2 = s2d_ops.depth_to_space(c2s)  # (B, H/4, W/4, ch64)
 
-            # encoder levels 2..7 unchanged (channels are MXU-wide there)
-            conv2 = self._conv_block(conv1, 64, 5, 2)
+            # encoder levels 3..7 unchanged (channels are MXU-wide there)
             conv3 = self._conv_block(conv2, 128, 3, 3)
             conv4 = self._conv_block(conv3, 256, 3, 4)
             conv5 = self._conv_block(conv4, 512, 3, 5)
             conv6 = self._conv_block(conv5, 512, 3, 6)
             bottom = self._conv_block(conv6, 512, 3, 7)
-            skips = [conv1, conv2, conv3, conv4, conv5, conv6]
+            # skips[0] (conv1) is consumed ONLY by the s2d level 2 below —
+            # keep it phase-packed and never materialize the plain map.
+            skips = [None, conv2, conv3, conv4, conv5, conv6]
+            skip1_s2d, skip1_ch = c1s, ch32
             dec_chs = [512, 512, 256, 128, 64, 32, 16]
             n_ups = 7
         else:  # resnet50: 7x7-s2 stem as one coarse conv on the s2d grid
@@ -264,7 +277,8 @@ class Monodepth(nn.Module):
             conv3 = self._resblock(conv2, 128, 4, "res3")
             conv4 = self._resblock(conv3, 256, 6, "res4")
             bottom = self._resblock(conv4, 512, 3, "res5")
-            skips = [conv1, pool1, conv2, conv3, conv4]
+            skips = [None, pool1, conv2, conv3, conv4]
+            skip1_s2d, skip1_ch = s2d_ops.space_to_depth(conv1), ch64
             dec_chs = [512, 256, 128, 64, 32, 16]
             n_ups = 6
 
@@ -290,17 +304,16 @@ class Monodepth(nn.Module):
         disp3 = disps[-1]  # (B, H/4, W/4, 2) -> feeds level 2 via phases
 
         # --- level 2 on the s2d grid (fine = H/2, coarse = H/4) ---
-        skip1 = skips[0]  # conv1: ch32 for vgg, ch64 for resnet50 (at H/2)
-        skipc = skip1.shape[3]
         ku2, bu2 = _ConvP(ch32, 3, xx.shape[3], name="upconv2")()
         up2 = nn.elu(s2d_ops.upconv_s2d(xx, ku2, bu2, 3))  # (H/4, 4*ch32)
-        skip_s = s2d_ops.space_to_depth(skip1)  # (H/4, 4*skipc)
         # s2d(up_nn(disp3)) at the H/4 grid == disp3's channels replicated
         # across the 4 phases
         ud2 = s2d_ops.replicate_phases(disp3.astype(dt))
-        ki2, bi2 = _ConvP(ch32, 3, ch32 + skipc + 2, name="iconv2")()
+        ki2, bi2 = _ConvP(ch32, 3, ch32 + skip1_ch + 2, name="iconv2")()
         x2 = nn.elu(
-            s2d_ops.s2d_conv([(up2, ch32), (skip_s, skipc), (ud2, 2)], ki2, bi2, 3)
+            s2d_ops.s2d_conv(
+                [(up2, ch32), (skip1_s2d, skip1_ch), (ud2, 2)], ki2, bi2, 3
+            )
         )  # (H/4, 4*ch32)
         kd2, bd2 = _ConvP(2, 3, ch32, name="disp2")()
         d2 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x2, ch32)], kd2, bd2, 3))

@@ -70,6 +70,28 @@ def _sel_fine(k: int):
     return M, lo, hi
 
 
+def _sel_fine_s2(k: int):
+    """Selection for a fine STRIDE-2 conv whose output is itself s2d-packed:
+    output phase D at coarse-out index I reads fine index 4I + 2D + (t - o) =
+    2(2I + sigma) + p, i.e. input-s2d offset sigma = (2D + t - o - p)/2 with
+    the conv applied at stride 2 over the input s2d grid.
+    M[sigma_idx, p, D, t]."""
+    o = (k - 1) // 2
+    entries = []
+    for d in range(2):
+        for t in range(k):
+            tau = 2 * d + t - o
+            p = tau % 2
+            entries.append((d, t, p, (tau - p) // 2))
+    lo = min(s for *_, s in entries)
+    hi = max(s for *_, s in entries)
+    S = hi - lo + 1
+    M = np.zeros((S, 2, 2, k), np.float32)
+    for d, t, p, s in entries:
+        M[s - lo, p, d, t] = 1.0
+    return M, lo, hi
+
+
 def _sel_up(k: int):
     """M[s, d, t] = 1-count: fine tap t of output phase d reads coarse pixel
     i + floor((d + t - o)/2) of the un-upsampled input (NN x2 upsample)."""
@@ -84,26 +106,42 @@ def _sel_up(k: int):
     return M, lo, hi
 
 
-def _conv(x, kern, bias, pad_lr):
+def _conv(x, kern, bias, pad_lr, stride=1):
+    pad = pad_lr if isinstance(pad_lr, tuple) else (pad_lr, pad_lr)
     y = jax.lax.conv_general_dilated(
-        x, kern.astype(x.dtype), (1, 1), (pad_lr, pad_lr),
+        x, kern.astype(x.dtype), (stride, stride), (pad, pad),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def s2d_conv(segments, kernel, bias, k: int, phase_out: bool = True):
+def s2d_conv(segments, kernel, bias, k: int, phase_out: bool = True,
+             stride: int = 1):
     """Fine-grid kxk conv evaluated on the s2d grid.
 
     segments: list of (tensor, fine_channels) — phase-major s2d tensors that
       concatenate into the conv input (fine conv sees sum(fine_channels)).
     kernel: (k, k, C_total, N) fine kernel; bias: (N,).
-    phase_out=True: stride-1 fine conv, phase-major s2d output (..., 4N).
-    phase_out=False: stride-2 fine conv; the output grid IS the coarse grid
-      (plain (..., N) channels).
+    phase_out=True,  stride=1: stride-1 fine conv, s2d output (..., 4N).
+    phase_out=False, stride=1: stride-2 fine conv; the output grid IS the
+      coarse grid (plain (..., N) channels).
+    phase_out=True,  stride=2: stride-2 fine conv whose output is ITSELF
+      s2d-packed — (coarse/2 grid, 4N channels). Keeps narrow-N stride-2
+      layers (encoder downsamplers) at full MXU lanes; the consumer either
+      continues in s2d space or depth_to_space's once.
     """
-    M, lo, hi = _sel_fine(k)
+    if stride == 1:
+        M, lo, hi = _sel_fine(k)
+        conv_stride = 1
+    elif stride == 2:
+        if not phase_out:
+            raise ValueError("stride=2 requires phase_out (else use the "
+                             "phase_out=False stride-2-fine form)")
+        M, lo, hi = _sel_fine_s2(k)
+        conv_stride = 2
+    else:
+        raise ValueError(f"unsupported stride {stride}")
     Mj = jnp.asarray(M)
     c_sizes = [c for _, c in segments]
     kparts = jnp.split(kernel, np.cumsum(c_sizes)[:-1].tolist(), axis=2)
@@ -122,8 +160,9 @@ def s2d_conv(segments, kernel, bias, k: int, phase_out: bool = True):
     x = segments[0][0] if len(segments) == 1 else jnp.concatenate(
         [s for s, _ in segments], axis=-1
     )
-    assert -lo == hi, (k, lo, hi)  # symmetric for odd k
-    return _conv(x, kern, jnp.tile(bias, nphase), (hi, hi))
+    if conv_stride == 1:
+        assert -lo == hi, (k, lo, hi)  # symmetric for odd k at stride 1
+    return _conv(x, kern, jnp.tile(bias, nphase), (-lo, hi), stride=conv_stride)
 
 
 def upconv_s2d(x_coarse, kernel, bias, k: int = 3):

@@ -99,3 +99,20 @@ def test_replicate_phases_is_s2d_of_upsample():
     np.testing.assert_array_equal(
         np.asarray(s2d.replicate_phases(x)), np.asarray(s2d.space_to_depth(up))
     )
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_s2d_conv_stride2_phase_out_matches_fine(k):
+    """stride=2 + phase_out: fine stride-2 conv whose output is itself
+    s2d-packed (coarse/2 grid, 4N channels)."""
+    rng = np.random.default_rng(20 + k)
+    c_in, n, h, w = 5, 6, 16, 24
+    x = jnp.asarray(rng.normal(size=(2, h, w, c_in)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(k, k, c_in, n)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    ref = _fine_conv(x, kern, bias, stride=2)  # (2, h/2, w/2, n)
+    got = s2d.depth_to_space(
+        s2d.s2d_conv([(s2d.space_to_depth(x), c_in)], kern, bias, k, stride=2)
+    )  # (2, h/2, w/2, n) via (h/4, w/4, 4n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
