@@ -249,8 +249,18 @@ def mad_filter(cloud: MaskedCloud, axis: int, threshold: float) -> MaskedCloud:
     """pcl.remove_noise_by_mad (pcl.py:46-81): median-absolute-deviation cut.
 
     penalty = 0.6745 * |x - median| / MAD; keep penalty < threshold.
-    """
+
+    On TPU, VMEM-resident-size clouds run the whole filter (both radix
+    medians + the mask) as one Pallas kernel (ops/pallas_mad.py) — the XLA
+    path re-reads the planes from HBM on each of ~70 counting passes.
+    Results are identical (same radix algorithm)."""
     x = cloud.xyz[:, axis]
+    n = cloud.capacity
+    if jax.default_backend() == "tpu" and n % 1024 == 0:
+        from .pallas_mad import MAX_RESIDENT_POINTS, mad_keep_mask_pallas
+
+        if n <= MAX_RESIDENT_POINTS:
+            return cloud.with_mask(mad_keep_mask_pallas(x, cloud.valid, threshold))
     med = masked_median(x, cloud.valid)
     abs_diffs = jnp.abs(x - med)
     mad = masked_median(abs_diffs, cloud.valid)
@@ -265,7 +275,17 @@ def mad_filter_pair(
     """Two independent MAD filters (e.g. the left/right fence split,
     semantic_depth.py:293-305) with their four medians computed as two
     BATCHED medians — identical results to two mad_filter calls at half the
-    sequential reduction-pass count."""
+    sequential reduction-pass count. On TPU each side takes the fused
+    VMEM-resident Pallas kernel instead (mad_filter dispatch)."""
+    n = a.capacity
+    if jax.default_backend() == "tpu" and n % 1024 == 0:
+        from .pallas_mad import MAX_RESIDENT_POINTS
+
+        if n <= MAX_RESIDENT_POINTS:
+            return (
+                mad_filter(a, axis, threshold_a),
+                mad_filter(b, axis, threshold_b),
+            )
     vals = jnp.stack([a.xyz[:, axis], b.xyz[:, axis]])
     valids = jnp.stack([a.valid, b.valid])
     meds = masked_median_batched(vals, valids)

@@ -271,3 +271,32 @@ def test_masked_kth_smallest_matches_sort():
     for k in [0, 1, len(sorted_valid) // 2, len(sorted_valid) - 1]:
         got = float(masked_kth_smallest(jnp.asarray(vals), jnp.asarray(valid), jnp.int32(k)))
         assert got == float(sorted_valid[k]), k
+
+
+def test_pallas_mad_kernel_matches_xla_path():
+    """The fused Pallas MAD kernel (interpret mode on CPU) equals the XLA
+    radix path bit-for-bit, including duplicates, empty masks, and MAD=0."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_mad import mad_keep_mask_pallas
+    from semantic_depth_tpu.ops.pcl import _masked_median_radix
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    cases = []
+    x = rng.normal(size=n).astype(np.float32) * 7 - 2
+    cases.append((x, rng.random(n) < 0.6))
+    xd = np.round(x)  # heavy duplicates
+    cases.append((xd, rng.random(n) < 0.6))
+    cases.append((np.full(n, 3.25, np.float32), rng.random(n) < 0.5))  # MAD = 0
+    cases.append((x, np.zeros(n, bool)))  # empty mask
+
+    for vals, valid in cases:
+        vj, mj = jnp.asarray(vals), jnp.asarray(valid)
+        got = np.asarray(mad_keep_mask_pallas(vj, mj, 2.0))
+        med = _masked_median_radix(vj, mj)
+        diffs = jnp.abs(vj - med)
+        mad = _masked_median_radix(diffs, mj)
+        penalty = 0.6745 * diffs / mad
+        ref = np.asarray(mj & (penalty < 2.0))
+        np.testing.assert_array_equal(got, ref)
