@@ -174,12 +174,21 @@ def _grid_knn_dispatch(points, valid, k, window):
     natively-batched kernel (batch axis as a leading grid dimension)."""
     if jax.default_backend() == "tpu":
         from .pallas_knn import (
+            _VMEM_RESIDENT_BUDGET,
             knn_mean_distances_grid_pallas,
             knn_mean_distances_grid_pallas_batched,
         )
 
-        h = valid.shape[0]
-        tile_h = 32
+        h, w_ = valid.shape
+        wh, ww = window
+        resident = (
+            16 * (h + 2 * (wh // 2)) * (w_ + 2 * (ww // 2))
+            <= _VMEM_RESIDENT_BUDGET
+        )
+        # tile 64 is ~6% faster on the VMEM-resident path (tile sweep on
+        # v5e); the HBM-streaming path keeps 32 — its per-tile k-buffers at
+        # 64 rows press against Mosaic's 16 MB kernel-stack limit.
+        tile_h = 64 if resident else 32
         while h % tile_h != 0:
             tile_h //= 2
 
