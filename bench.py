@@ -44,8 +44,10 @@ BATCH = 8
 POOL_BATCHES = 4  # distinct device-resident scene batches, cycled
 FRAMES_PER_TRIAL = 104
 TRIALS = 3
-FULL_RES_BATCH = 2  # flip-batch doubles it; batch 4 OOMs 16 GB HBM alongside
-FULL_RES_FRAMES = 16  # the f32 geometry planes at 1024x2048
+# Batch 4 fits since the s2d encoder stopped materializing full-res plain
+# conv maps (batch 2 -> 10.8 fps, batch 4 -> 14.6 on a quiet chip).
+FULL_RES_BATCH = 4
+FULL_RES_FRAMES = 16
 
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).
 _PEAK_TFLOPS = [
