@@ -175,3 +175,29 @@ def test_pipeline_is_deterministic():
     np.testing.assert_array_equal(
         np.asarray(a.road_cloud.valid), np.asarray(b.road_cloud.valid)
     )
+
+
+def test_staged_matches_fused():
+    """process_frame_staged (per-stage host-sync profiling mode) must produce
+    the same results as the fused program — guards the two implementations
+    against drifting apart (e.g. the resolution-dependent camera/disparity
+    scaling must be applied identically in both)."""
+    pipe = tiny_pipeline()
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(256, 512, 3)).astype(np.float32)
+
+    fused = pipe.process_frame(frame)
+    staged, times = pipe.process_frame_staged(frame)
+
+    np.testing.assert_allclose(
+        np.asarray(staged.disparity), np.asarray(fused.disparity),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(staged.road_mask), np.asarray(fused.road_mask)
+    )
+    for name in ("dist_rw", "dist_f2f"):
+        a = float(getattr(fused, name))
+        b = float(getattr(staged, name))
+        assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-4), name
+    assert set(times) >= {"read", "semantic", "disparity", "to3D", "road", "rw"}
