@@ -97,6 +97,44 @@ def save_disparity_png(disp: np.ndarray, output_name: str, oh: int, ow: int) -> 
 # ---------------------------------------------------------------------------
 # Annotation (cv2.putText / rectangle layout of semantic_depth.py:339-399)
 # ---------------------------------------------------------------------------
+#
+# With cv2 present the calls match the reference pixel-for-pixel; without it
+# a PIL ImageDraw fallback renders the same text/layout (different font
+# rasterization, same content) instead of silently returning the image
+# un-annotated.
+
+
+def _fill_rect(img: np.ndarray, p0, p1, color_bgr) -> None:
+    if _HAS_CV2:
+        cv2.rectangle(img, p0, p1, color_bgr, -1)
+        return
+    x0, y0 = p0
+    x1, y1 = p1
+    img[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1)] = np.asarray(
+        color_bgr, np.uint8
+    )
+
+
+def _put_text(img: np.ndarray, text, org, font_scale, color_bgr, thickness) -> None:
+    if _HAS_CV2:
+        cv2.putText(
+            img, text, org, fontFace=16, fontScale=font_scale, color=color_bgr,
+            thickness=thickness,
+        )
+        return
+    from PIL import Image, ImageDraw, ImageFont
+
+    pil = Image.fromarray(img[:, :, ::-1])
+    draw = ImageDraw.Draw(pil)
+    size = max(10, int(22 * font_scale))  # ~cv2 Hershey glyph height
+    try:
+        font = ImageFont.load_default(size=size)
+    except TypeError:  # older Pillow: fixed-size bitmap font
+        font = ImageFont.load_default()
+    rgb = tuple(int(c) for c in color_bgr[::-1])
+    # cv2's org is the text BASELINE; PIL anchors at the ascender
+    draw.text((org[0], max(0, org[1] - size)), text, fill=rgb, font=font)
+    img[:] = np.asarray(pil)[:, :, ::-1]
 
 
 def annotate_single(
@@ -112,8 +150,6 @@ def annotate_single(
     right_f2f: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Header band + distance texts, matching semantic_depth.py:350-395."""
-    if not _HAS_CV2:
-        return img
     img = np.clip(np.asarray(img), 0, 255).astype(np.uint8).copy()
     h, w = img.shape[:2]
     if is_city:
@@ -124,35 +160,35 @@ def annotate_single(
     right = 0.68 if is_city else 0.67
     h_zero, h_first, h_second = 0.05 * h, 0.12 * h, 0.18 * h
 
-    cv2.rectangle(img, (0, 0), (w, int(0.2 * h)), (156, 157, 159), -1)
-    cv2.putText(
+    _fill_rect(img, (0, 0), (w, int(0.2 * h)), (156, 157, 159))
+    _put_text(
         img, "At {:.2f}m depth:".format(depth), (int(middle * w), int(h_zero)),
-        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        font_scale, (255, 255, 255), thickness,
     )
     if approach == "both" and dist_f2f is not None and np.isfinite(dist_f2f):
-        cv2.putText(
+        _put_text(
             img, "{:.2f}m to l fence".format(-left_f2f[0]), (int(left * w), int(h_first)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+            font_scale, (255, 255, 255), thickness,
         )
-        cv2.putText(
+        _put_text(
             img, "{:.2f}m to r fence".format(right_f2f[0]), (int(right * w), int(h_first)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+            font_scale, (255, 255, 255), thickness,
         )
-        cv2.putText(
+        _put_text(
             img, "Fence2Fence: {:.2f}m".format(dist_f2f), (int(middle * w), int(h_first)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+            font_scale, (255, 255, 255), thickness,
         )
-    cv2.putText(
+    _put_text(
         img, "{:.2f}m to road's l".format(-left_rw[0]), (int(left * w), int(h_second)),
-        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        font_scale, (255, 255, 255), thickness,
     )
-    cv2.putText(
+    _put_text(
         img, "{:.2f}m to road's r".format(right_rw[0]), (int(right * w), int(h_second)),
-        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        font_scale, (255, 255, 255), thickness,
     )
-    cv2.putText(
+    _put_text(
         img, "Road's width: {:.2f}m".format(dist_rw), (int(middle * w), int(h_second)),
-        fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        font_scale, (255, 255, 255), thickness,
     )
     return img
 
@@ -167,34 +203,32 @@ def annotate_sequence(
 ) -> np.ndarray:
     """Sequence-script annotation incl. the 'Cannot compute width' fallback
     (seq:310-328)."""
-    if not _HAS_CV2:
-        return img
     img = np.clip(np.asarray(img), 0, 255).astype(np.uint8).copy()
     h, w = img.shape[:2]
     thickness, font_scale = 2, 2
     if line_found:
-        cv2.rectangle(img, (0, 0), (w, int(0.25 * h)), (156, 157, 159), -1)
-        cv2.putText(
+        _fill_rect(img, (0, 0), (w, int(0.25 * h)), (156, 157, 159))
+        _put_text(
             img, "At {:.2f} m depth:".format(depth), (int(0.36 * w), int(0.05 * h)),
-            fontFace=16, fontScale=font_scale + 0.2, color=(255, 255, 255), thickness=thickness,
+            font_scale + 0.2, (255, 255, 255), thickness,
         )
-        cv2.putText(
-            img, "{:.2f}m to road's left end".format(-left_rw[0]), (int(0.05 * w), int(0.13 * h)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        _put_text(
+            img, "{:.2f}m to road's left end".format(-left_rw[0]),
+            (int(0.05 * w), int(0.13 * h)), font_scale, (255, 255, 255), thickness,
         )
-        cv2.putText(
-            img, "{:.2f}m to road's right end".format(right_rw[0]), (int(0.5 * w), int(0.13 * h)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+        _put_text(
+            img, "{:.2f}m to road's right end".format(right_rw[0]),
+            (int(0.5 * w), int(0.13 * h)), font_scale, (255, 255, 255), thickness,
         )
-        cv2.putText(
+        _put_text(
             img, "Road's width: {:.2f} m".format(dist_rw), (int(0.35 * w), int(0.22 * h)),
-            fontFace=16, fontScale=font_scale, color=(255, 255, 255), thickness=thickness,
+            font_scale, (255, 255, 255), thickness,
         )
     else:
-        cv2.putText(
+        _put_text(
             img, "Cannot compute width of road at {:.2f} m depth:".format(depth),
             (int(0.28 * w), int(0.035 * h)),
-            fontFace=16, fontScale=font_scale + 0.2, color=(0, 255, 0), thickness=thickness,
+            font_scale + 0.2, (0, 255, 0), thickness,
         )
     return img
 

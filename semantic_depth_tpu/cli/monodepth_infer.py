@@ -51,7 +51,7 @@ def main(argv=None):
     params = common.load_mono_params(mono, args.monodepth_checkpoint, hw)
 
     @jax.jit
-    def infer(mono_params, frames):  # (B, H0, W0, 3) BGR f32
+    def infer(mono_params, frames):  # (B, H0, W0, 3) BGR uint8/f32
         small = jax.vmap(lambda f: resize_clip_u8(f.astype(jnp.float32), hw))(frames)
         norm = small / 255.0
         b = norm.shape[0]
@@ -67,7 +67,7 @@ def main(argv=None):
 
     for i in range(0, len(paths), args.batch):
         chunk = paths[i : i + args.batch]
-        frames = [common.imread_bgr(p_).astype(np.float32) for p_ in chunk]
+        frames = [common.imread_bgr(p_) for p_ in chunk]  # uint8 payloads
         if len({f.shape for f in frames}) != 1:
             # mixed resolutions: fall back to singles
             groups = [[f] for f in frames]

@@ -47,9 +47,9 @@ def main(argv=None):
     params = common.load_fcn_params(fcn, args.semantic_model, hw)
 
     @jax.jit
-    def segment_batch(frames):  # (B, H0, W0, 3) BGR f32
-        small = jax.vmap(lambda f: resize_clip_u8(f, hw))(frames)
-        probs = jax.nn.softmax(fcn.apply(params, small), axis=-1)
+    def segment_batch(fcn_params, frames):  # (B, H0, W0, 3) BGR uint8/f32
+        small = jax.vmap(lambda f: resize_clip_u8(f.astype(jnp.float32), hw))(frames)
+        probs = jax.nn.softmax(fcn.apply(fcn_params, small), axis=-1)
         road = probs[..., 0] > 0.5
         fence = probs[..., 1] > 0.5
         return jax.vmap(
@@ -71,8 +71,8 @@ def main(argv=None):
         nonlocal writer, n_frames
         if not batch:
             return
-        frames = np.stack(batch).astype(np.float32)
-        overlays = np.asarray(segment_batch(jnp.asarray(frames)))
+        frames = np.stack(batch)  # uint8 payload; device-side cast
+        overlays = np.asarray(segment_batch(params, jnp.asarray(frames)))
         for src, ov in zip(batch, overlays):
             full = common.host_resize(ov.astype(np.float32), src.shape[0], src.shape[1])
             if writer is None:

@@ -98,10 +98,12 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
 
     tic = time.time()
     stage_times = None
+    # frames ship uint8 (4x less host->device traffic, like the reference's
+    # cv2.imread feed); the device program casts to f32
     if getattr(args, "profile_stages", False):
-        out, stage_times = pipe.process_frame_staged(frame.astype(np.float32), focal=focal)
+        out, stage_times = pipe.process_frame_staged(frame, focal=focal)
     else:
-        out = pipe.process_frame(frame.astype(np.float32), focal=focal)
+        out = pipe.process_frame(frame, focal=focal)
     dist_rw = float(out.dist_rw)
     dist_f2f = float(out.dist_f2f)
     t_device = time.time() - tic

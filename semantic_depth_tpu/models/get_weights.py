@@ -75,13 +75,22 @@ def fetch(
                 os.remove(tmp)
             raise
         os.replace(tmp, out_path)
+    got = _sha256(out_path)
     if sha256 is not None:
-        got = _sha256(out_path)
         if got != sha256:
             os.remove(out_path)
             raise ValueError(
                 f"checksum mismatch for {out_path}: got {got}, expected {sha256}"
             )
+    else:
+        # No pinned digest exists for the published sets yet (this build
+        # environment has no egress to compute them) — print what we got so
+        # the first networked run can freeze it in WEIGHTS.md.
+        print(
+            f"sha256({os.path.basename(out_path)}) = {got}\n"
+            "  (unpinned — record this digest in models/WEIGHTS.md and pass "
+            "--sha256 on future fetches)"
+        )
     return out_path
 
 

@@ -88,9 +88,9 @@ class Monodepth(nn.Module):
     # padding at camera resolutions: measured 141 -> 90 ms at 1024x2048
     # batch 4 and 24 -> 13.5 ms at 256x512 batch 16 on v5e). Same parameter
     # tree; results match the plain path up to f32 summation order
-    # (<= 1e-7 f32, <= 1e-3 bf16). Applies to the vgg encoder with
-    # nearest-neighbor upsampling and H, W divisible by 4; silently falls
-    # back to the plain path otherwise.
+    # (<= 1e-7 f32, <= 1e-3 bf16). Applies with nearest-neighbor upsampling
+    # and H, W divisible by 8 (vgg) / 4 (resnet50); silently falls back to
+    # the plain path otherwise.
     s2d_opt: bool = True
 
     def _ch(self, ch: int) -> int:
@@ -163,12 +163,17 @@ class Monodepth(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
         x = images.astype(self.compute_dtype)
+        # The vgg s2d path keeps enc2b's stride-2 output phase-packed on the
+        # H/8 grid, so it needs H, W % 8 == 0 (a % 4 input like H=100 would
+        # change shapes instead of falling back); resnet50 only uses the
+        # H/2-grid stem and needs % 4.
+        s2d_div = 8 if self.encoder == "vgg" else 4
         use_s2d = (
             self.s2d_opt
             and self.encoder in ("vgg", "resnet50")
             and not self.use_deconv
-            and images.shape[1] % 4 == 0
-            and images.shape[2] % 4 == 0
+            and images.shape[1] % s2d_div == 0
+            and images.shape[2] % s2d_div == 0
         )
 
         if use_s2d:

@@ -446,6 +446,31 @@ def select_slab_priority(
     return cloud.with_mask(sel), stride_out
 
 
+def compact_slab_aware(
+    cloud: MaskedCloud, capacity: int, axis: int, lo, hi, px_scale: float = 1.0
+) -> Tuple[MaskedCloud, jnp.ndarray]:
+    """Slab-priority compaction WITH density weights: keep the (lo, hi) slab
+    on ``axis`` at full density, stride-subsample the rest, pack into
+    ``capacity`` slots, and return per-survivor density weights such that
+    the weighted count of survivors equals the original valid count divided
+    by ``px_scale`` (each survivor's weight = how many original points it
+    represents). If the slab alone overflows ``capacity``, compact applies a
+    residual stride to EVERYTHING — that stride is folded into the weights
+    too, so the invariant holds in the overflow regime as well.
+
+    Used by the radius outlier cut so the reference's ``nb_points within
+    radius`` threshold (semantic_depth.py:238) keeps its 256x512-density
+    physical meaning under any compaction/resolution (px_scale = pixel-count
+    ratio vs the reference grid)."""
+    sel, stride_out = select_slab_priority(cloud, capacity, axis, lo, hi)
+    resid = compact_stride(sel, capacity).astype(jnp.float32)
+    packed = compact(sel, capacity)
+    x = packed.xyz[:, axis]
+    in_slab = packed.valid & (x > lo) & (x < hi)
+    w = jnp.where(in_slab, 1.0, stride_out.astype(jnp.float32)) * resid / px_scale
+    return packed, jnp.where(packed.valid, w, 0.0)
+
+
 def compact_stride(cloud: MaskedCloud, capacity: int) -> jnp.ndarray:
     """The subsampling stride ``compact`` uses for this cloud: 1 when the
     valid count fits ``capacity``, else ceil(n / capacity). Callers that

@@ -101,14 +101,9 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
     slab_hi = -(depth_rw - cfg.rw_slab_halfwidth)
 
     def compact_slab_aware(c):
-        sel, stride_out = pcl.select_slab_priority(
-            c, rc.neighbor_capacity, 2, slab_lo, slab_hi
+        return pcl.compact_slab_aware(
+            c, rc.neighbor_capacity, 2, slab_lo, slab_hi, px_scale
         )
-        packed = pcl.compact(sel, rc.neighbor_capacity)
-        z = packed.xyz[:, 2]
-        in_slab = packed.valid & (z > slab_lo) & (z < slab_hi)
-        w = jnp.where(in_slab, 1.0, stride_out.astype(jnp.float32)) / px_scale
-        return packed, jnp.where(packed.valid, w, 0.0)
 
     if rc.stat_mode == "grid" and grid_hw is not None:
         h, w = grid_hw

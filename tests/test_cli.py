@@ -218,3 +218,74 @@ def test_monodepth_infer_cli(tmp_path, frame_dir, monkeypatch):
     d = np.load(tmp_path / "disp" / "test_1_disp.npy")
     assert d.shape == (128, 256)
     assert d.min() >= 0 and d.max() <= 0.3 + 1e-6  # normalized disparity
+
+
+def test_sequence_cli_dispatches_uint8(tmp_path, frame_dir, monkeypatch):
+    """The sequence entry must ship frames to the device as uint8 — upcasting
+    on host quadruples traffic on the host->device link (the reference feeds
+    uint8 BGR from cv2.imread, semantic_depth.py:105)."""
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import common, sequence as cli
+
+    seen = []
+    orig_build = common.build_pipeline
+
+    def spying_build(*a, **k):
+        pipe = orig_build(*a, **k)
+        orig_frame, orig_batch = pipe.process_frame, pipe.process_batch
+
+        def spy_frame(frame, *aa, **kk):
+            seen.append(np.asarray(frame).dtype)
+            return orig_frame(frame, *aa, **kk)
+
+        def spy_batch(frames, *aa, **kk):
+            seen.append(np.asarray(frames).dtype)
+            return orig_batch(frames, *aa, **kk)
+
+        pipe.process_frame = spy_frame
+        pipe.process_batch = spy_batch
+        return pipe
+
+    monkeypatch.setattr(cli.common, "build_pipeline", spying_build)
+    for batch in ("1", "2"):
+        seen.clear()
+        cli.main(
+            [
+                "--input_folder", str(frame_dir / "*.png"),
+                "--semantic_model", "random",
+                "--monodepth_checkpoint", "random",
+                "--input_height", "128",
+                "--input_width", "256",
+                "--batch", batch,
+                "--output_name", f"sequ8_{batch}",
+                "--results_dir", str(tmp_path / "results"),
+                "--dev_tiny",
+            ]
+        )
+        assert seen and all(d == np.uint8 for d in seen), seen
+
+
+def test_annotation_pil_fallback(monkeypatch):
+    """Without cv2 the annotation must still render (PIL), not silently
+    return the un-annotated image."""
+    from semantic_depth_tpu.cli import common
+
+    monkeypatch.setattr(common, "_HAS_CV2", False)
+    img = np.full((200, 400, 3), 40, np.uint8)
+    out = common.annotate_sequence(
+        img.copy(), 10.0, True, 5.25, np.array([-2.6, 0, -10.0]),
+        np.array([2.65, 0, -10.0]),
+    )
+    assert out.shape == img.shape
+    assert (out != img).any(), "PIL fallback must draw the band + text"
+    # header band filled with the reference gray
+    assert (out[0, 0] == np.array([156, 157, 159])).all()
+
+    out2 = common.annotate_sequence(img.copy(), 10.0, False)
+    assert (out2 != img).any(), "'Cannot compute width' text must render"
+
+    out3 = common.annotate_single(
+        img.copy(), 10.0, True, "rw", 5.0, np.array([-2.5, 0, -10.0]),
+        np.array([2.5, 0, -10.0]),
+    )
+    assert (out3 != img).any()

@@ -300,3 +300,59 @@ def test_pallas_mad_kernel_matches_xla_path():
         penalty = 0.6745 * diffs / mad
         ref = np.asarray(mj & (penalty < 2.0))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_compact_slab_aware_weight_conservation():
+    """Density weights must conserve the original valid count (each survivor's
+    weight = how many originals it represents) in BOTH regimes: the normal
+    out-of-slab overflow, and the slab-alone-over-capacity case where
+    pcl.compact applies a residual stride to everything — previously in-slab
+    survivors kept weight 1 there and the weighted radius cut over-pruned."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+
+    def build(n_slab, n_out):
+        z_slab = rng.uniform(-10.05, -9.95, n_slab)
+        z_out = np.concatenate([
+            rng.uniform(-9.0, -7.0, n_out // 2),
+            rng.uniform(-14.0, -11.0, n_out - n_out // 2),
+        ])
+        z = np.concatenate([z_slab, z_out])
+        xyz = np.stack([rng.normal(size=z.size), rng.normal(size=z.size), z], 1)
+        return pcl.MaskedCloud(
+            xyz=jnp.asarray(xyz, jnp.float32),
+            rgb=jnp.zeros((z.size, 3), jnp.float32),
+            valid=jnp.ones((z.size,), bool),
+        )
+
+    lo, hi = -10.1, -9.9
+    # regime 1: slab fits, out-of-slab overflows
+    cloud = build(100, 2000)
+    packed, w = pcl.compact_slab_aware(cloud, 512, 2, lo, hi)
+    assert int(packed.count()) <= 512
+    total = float(jnp.sum(w))
+    assert abs(total - 2100) / 2100 < 0.05
+    z = np.asarray(packed.xyz[:, 2])
+    in_slab = np.asarray(packed.valid) & (z > lo) & (z < hi)
+    np.testing.assert_allclose(np.asarray(w)[in_slab], 1.0)
+
+    # regime 2: the slab ALONE exceeds capacity -> compact's residual stride
+    # subsamples the slab too; weights must reflect it (and stay conserving)
+    cloud = build(1500, 500)
+    packed, w = pcl.compact_slab_aware(cloud, 512, 2, lo, hi)
+    assert int(packed.count()) <= 512
+    z = np.asarray(packed.xyz[:, 2])
+    in_slab = np.asarray(packed.valid) & (z > lo) & (z < hi)
+    assert in_slab.any()
+    assert (np.asarray(w)[in_slab] > 1.0).all(), (
+        "slab survivors under residual stride must carry the stride weight"
+    )
+    # conservation within the slab group (out-of-slab collapses to ~1 point
+    # by slab-priority design, so only its expectation conserves)
+    slab_total = float(jnp.sum(jnp.where(jnp.asarray(in_slab), w, 0.0)))
+    assert abs(slab_total - 1500) / 1500 < 0.10
+
+    # px_scale divides everything
+    _, w_scaled = pcl.compact_slab_aware(cloud, 512, 2, lo, hi, px_scale=4.0)
+    np.testing.assert_allclose(np.asarray(w_scaled), np.asarray(w) / 4.0, rtol=1e-6)

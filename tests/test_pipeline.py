@@ -201,3 +201,20 @@ def test_staged_matches_fused():
         b = float(getattr(staged, name))
         assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-4), name
     assert set(times) >= {"read", "semantic", "disparity", "to3D", "road", "rw"}
+
+
+def test_uint8_frames_match_f32():
+    """The CLIs ship raw uint8 camera payloads (4x less host->device traffic);
+    the device-side cast must make results identical to f32 feeds."""
+    rng = np.random.default_rng(9)
+    frame_u8 = rng.integers(0, 256, size=(256, 512, 3), dtype=np.uint8)
+    pipe = tiny_pipeline(approach="rw")
+    a = pipe.process_frame(frame_u8)
+    b = pipe.process_frame(frame_u8.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(a.disparity), np.asarray(b.disparity))
+    np.testing.assert_array_equal(np.asarray(a.road_mask), np.asarray(b.road_mask))
+    fa, fb = float(a.dist_rw), float(b.dist_rw)
+    assert (np.isnan(fa) and np.isnan(fb)) or fa == fb
+    ba = pipe.process_batch(frame_u8[None])
+    bb = pipe.process_batch(frame_u8[None].astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(ba.disparity), np.asarray(bb.disparity))
