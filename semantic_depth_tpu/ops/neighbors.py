@@ -17,13 +17,26 @@ and reduce each block on the fly (running k-smallest merge for the
 statistical pass, running radius counts for the radius pass). Nothing
 materializes the full C x C matrix.
 
-Semantics follow Open3D's legacy implementation:
-* statistical: mean distance to the nb_neighbors nearest neighbors (the query
-  point itself is a member of the cloud and contributes a zero distance, as
-  in KDTreeFlann.SearchKNN on the same cloud); a point survives if its mean
-  distance < global_mean + std_ratio * global_sample_std.
-* radius: a point survives if the number of cloud points within ``radius``
-  (including itself) exceeds ``nb_points``.
+Semantics are a transcription of Open3D's legacy (0.x) implementation — the
+era API the reference calls (``statistical_outlier_removal`` /
+``radius_outlier_removal``, semantic_depth.py:227-245; upstream C++:
+src/Geometry/DownSample.cpp RemoveStatisticalOutliers / RemoveRadiusOutliers
+over KDTreeFlann). Line-by-line notes live in tests/oracles.py; the binding
+rules are:
+
+* statistical: KDTreeFlann.SearchKNN on the cloud itself returns the query
+  point among its k neighbors (distance 0) and min(k, n) neighbors when the
+  cloud is smaller than k; avg_distance = mean of the sqrt'd distances over
+  however many were returned. The global threshold is
+  cloud_mean + std_ratio * std where both moments divide by the FULL valid
+  count (n, resp. n-1 — Bessel) while their sums skip avg_distance == 0
+  entries; a point survives iff avg_distance > 0 AND avg_distance <
+  threshold (strict) — so a point lying on >= k-1 exact duplicates of
+  itself is removed.
+* radius: a point survives if the number of cloud points with squared
+  distance STRICTLY below radius^2 (FLANN RadiusResultSet::addPoint uses
+  ``dist < radius_``; Open3D passes radius*radius), including itself,
+  exceeds ``nb_points`` (strict >).
 """
 
 from __future__ import annotations
@@ -66,22 +79,27 @@ def _column_blocks(cloud: MaskedCloud, block_size: int):
 
 @partial(jax.jit, static_argnames=("k", "block_size"))
 def knn_mean_distances(cloud: MaskedCloud, k: int, block_size: int = 2048) -> jnp.ndarray:
-    """Mean distance from each valid point to its k nearest valid neighbors
-    (self included, distance 0). Invalid rows return +inf. O(C^2) in blocked
+    """Mean distance from each valid point to its min(k, n) nearest valid
+    neighbors (self included, distance 0) — SearchKNN returns fewer than k
+    when the cloud is smaller, and the upstream average divides by what was
+    returned (module docstring). Invalid rows return +inf. O(C^2) in blocked
     MXU matmuls + per-block top-k merges."""
     cols, colmask = _column_blocks(cloud, block_size)
     init = jnp.full((cloud.capacity, k), jnp.inf, jnp.float32)
+    blk_k = min(k, cols.shape[1])  # a block cannot contribute more than its size
 
     def step(best, blk):
         block, bmask = blk
         d2 = _block_d2(cloud.xyz, block)
         d2 = jnp.where(bmask[None, :], d2, jnp.inf)
-        blk_best = -jax.lax.top_k(-d2, k)[0]  # k smallest per row
+        blk_best = -jax.lax.top_k(-d2, blk_k)[0]  # k smallest per row
         merged = jnp.sort(jnp.concatenate([best, blk_best], axis=1), axis=1)[:, :k]
         return merged, None
 
     best, _ = jax.lax.scan(step, init, (cols, colmask))
-    mean_d = jnp.mean(jnp.sqrt(best), axis=1)
+    fin = jnp.isfinite(best)  # ascending rows: the finite min(k, n) lead
+    cnt = jnp.sum(fin.astype(jnp.float32), axis=1)
+    mean_d = jnp.sum(jnp.where(fin, jnp.sqrt(best), 0.0), axis=1) / jnp.maximum(cnt, 1.0)
     return jnp.where(cloud.valid, mean_d, jnp.inf)
 
 
@@ -95,7 +113,8 @@ def radius_counts(cloud: MaskedCloud, radius: float, block_size: int = 2048) -> 
     def step(counts, blk):
         block, bmask = blk
         d2 = _block_d2(cloud.xyz, block)
-        within = (d2 <= r2) & bmask[None, :]
+        # STRICT <: FLANN's RadiusResultSet admits dist < radius^2 only
+        within = (d2 < r2) & bmask[None, :]
         return counts + jnp.sum(within.astype(jnp.int32), axis=1), None
 
     counts, _ = jax.lax.scan(step, jnp.zeros((cloud.capacity,), jnp.int32), (cols, colmask))
@@ -120,7 +139,7 @@ def radius_counts_weighted(
     def step(counts, blk):
         block, w = blk
         d2 = _block_d2(cloud.xyz, block)
-        return counts + jnp.sum(jnp.where(d2 <= r2, w[None, :], 0.0), axis=1), None
+        return counts + jnp.sum(jnp.where(d2 < r2, w[None, :], 0.0), axis=1), None
 
     counts, _ = jax.lax.scan(step, jnp.zeros((c,), jnp.float32), (cols, wcols))
     return jnp.where(cloud.valid, counts, 0.0)
@@ -220,16 +239,20 @@ def statistical_outlier_filter_grid(
 ) -> jnp.ndarray:
     """Grid-windowed statistical outlier removal: same global
     mean + std_ratio * sample-std threshold as the exact filter, with
-    windowed kNN. Returns the updated (H, W) validity mask."""
+    windowed kNN. Pixels too isolated to have k candidates in the window get
+    +inf and are excluded from the moments (the upstream full-cloud search
+    would have produced a large finite value instead; such pixels are
+    outliers under either reading — the documented grid-path approximation).
+    Returns the updated (H, W) validity mask."""
     mean_d = _grid_knn_dispatch(points, valid, nb_neighbors, window)
     finite = valid & jnp.isfinite(mean_d)
-    w = finite.astype(jnp.float32)
-    n = jnp.sum(w)
-    vals = jnp.where(finite, mean_d, 0.0)
+    pos = finite & (mean_d > 0)  # upstream skips avg == 0 rows in the sums
+    n = jnp.sum(finite.astype(jnp.float32))
+    vals = jnp.where(pos, mean_d, 0.0)
     mu = jnp.sum(vals) / n
-    var = jnp.sum(jnp.where(finite, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
+    var = jnp.sum(jnp.where(pos, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
     threshold = mu + std_ratio * jnp.sqrt(var)
-    return valid & (mean_d < threshold)
+    return pos & (mean_d < threshold)
 
 
 def _exact_knn_dispatch(cloud: MaskedCloud, k: int, block_size: int) -> jnp.ndarray:
@@ -247,15 +270,19 @@ def _exact_knn_dispatch(cloud: MaskedCloud, k: int, block_size: int) -> jnp.ndar
 def statistical_outlier_filter(
     cloud: MaskedCloud, nb_neighbors: int, std_ratio: float, block_size: int = 2048
 ) -> MaskedCloud:
-    """Open3D statistical_outlier_removal semantics (semantic_depth.py:234)."""
+    """Open3D statistical_outlier_removal semantics (semantic_depth.py:234;
+    upstream transcription in the module docstring / tests/oracles.py):
+    moments divide by the full valid count (every point finds at least
+    itself) while their sums skip avg_distance == 0 rows; survivors need
+    avg_distance > 0 AND avg_distance < mean + std_ratio * sample_std."""
     mean_d = _exact_knn_dispatch(cloud, nb_neighbors, block_size)
-    w = cloud.valid.astype(jnp.float32)
-    n = jnp.sum(w)
-    vals = jnp.where(cloud.valid, mean_d, 0.0)
+    n = jnp.sum(cloud.valid.astype(jnp.float32))
+    pos = cloud.valid & (mean_d > 0)
+    vals = jnp.where(pos, mean_d, 0.0)
     mu = jnp.sum(vals) / n
-    var = jnp.sum(jnp.where(cloud.valid, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
+    var = jnp.sum(jnp.where(pos, (mean_d - mu) ** 2, 0.0)) / (n - 1.0)
     threshold = mu + std_ratio * jnp.sqrt(var)
-    return cloud.with_mask(cloud.valid & (mean_d < threshold))
+    return cloud.with_mask(pos & (mean_d < threshold))
 
 
 def radius_outlier_filter(

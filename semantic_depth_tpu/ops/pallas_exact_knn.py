@@ -77,11 +77,17 @@ def _exact_knn_kernel(q_ref, c_ref, v_ref, out_ref, *, k: int, cb: int, c_total:
     buf = jax.lax.fori_loop(0, n_blocks, block_step, buf0)
 
     # ascending-order sum -> same accumulation order as mean over the sorted
-    # row of the XLA path
+    # row of the XLA path. Average over the FINITE entries only (min(k, n)
+    # neighbors — SearchKNN returns fewer than k on clouds smaller than k and
+    # the upstream mean divides by what was returned; infs pad the tail of
+    # the ascending buffer, so skipping them preserves the sum order).
     acc = jnp.zeros((tq, 1), jnp.float32)
+    cnt = jnp.zeros((tq, 1), jnp.float32)
     for bj in range(k):
-        acc = acc + jnp.sqrt(buf[bj])
-    out_ref[:] = acc / jnp.float32(k)
+        fin = buf[bj] < inf
+        acc = acc + jnp.where(fin, jnp.sqrt(buf[bj]), 0.0)
+        cnt = cnt + fin.astype(jnp.float32)
+    out_ref[:] = acc / jnp.maximum(cnt, 1.0)
 
 
 def _radius_kernel(q_ref, c_ref, v_ref, bz_ref, out_ref, *, cb: int, c_total: int,
@@ -120,7 +126,8 @@ def _radius_kernel(q_ref, c_ref, v_ref, bz_ref, out_ref, *, cb: int, c_total: in
                 precision=jax.lax.Precision.HIGHEST,
             )
             d2 = jnp.maximum(sq_q + sq_c - 2.0 * cross, 0.0)
-            contrib = jnp.where(d2 <= r2, v, 0.0)
+            # STRICT <: FLANN's RadiusResultSet admits dist < radius^2 only
+            contrib = jnp.where(d2 < r2, v, 0.0)
             return acc + jnp.sum(contrib, axis=1, keepdims=True)
 
         return jax.lax.cond(overlap, compute, lambda acc: acc, counts)
@@ -152,7 +159,14 @@ def radius_counts_pallas(
     if c_total % tq or c_total % cb:
         raise ValueError(f"capacity {c_total} must be a multiple of tq={tq}, cb={cb}")
 
-    w = valid.astype(jnp.float32) if weights is None else weights.astype(jnp.float32)
+    # Weights on INVALID rows must not count: invalid candidates are zeroed
+    # to the origin in the coordinate planes, so an unmasked nonzero weight
+    # there would be added for every query within ``radius`` of (0,0,0).
+    w = (
+        valid.astype(jnp.float32)
+        if weights is None
+        else jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    )
     planes = jnp.zeros((8, c_total), jnp.float32)
     planes = planes.at[0:3].set(jnp.where(valid[None, :], xyz.T, 0.0))
     vplane = jnp.broadcast_to(w[None, :], (8, c_total))

@@ -22,16 +22,21 @@ def test_bilinear_sampler_matches_numpy_oracle():
     off = rng.uniform(-0.2, 0.2, size=(2, 4, 16)).astype(np.float32)
     got = np.asarray(bilinear_sample_x(jnp.asarray(img), jnp.asarray(off)))
 
+    # published 'border' semantics: 1-pixel ZERO border, coords shifted +1
+    # into the padded frame, clipped to [0, w+1] (see ops/sampler.py and the
+    # live-TF twin in tests/test_weights.py)
     b, h, w, c = img.shape
+    padded = np.zeros((b, h, w + 2, c), np.float32)
+    padded[:, :, 1:-1] = img
     want = np.zeros_like(img)
     for bi in range(b):
         for y in range(h):
             for x in range(w):
-                sx = np.clip(x + off[bi, y, x] * w, 0, w - 1)
+                sx = np.clip(x + off[bi, y, x] * w + 1, 0, w + 1)
                 x0 = int(np.floor(sx))
-                x1 = min(x0 + 1, w - 1)
+                x1 = min(x0 + 1, w + 1)
                 f = sx - x0
-                want[bi, y, x] = img[bi, y, x0] * (1 - f) + img[bi, y, x1] * f
+                want[bi, y, x] = padded[bi, y, x0] * (1 - f) + padded[bi, y, x1] * f
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 

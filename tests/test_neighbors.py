@@ -48,7 +48,8 @@ def test_exact_pallas_knn_matches_xla_path():
 
 
 def test_exact_pallas_knn_duplicates_and_sparse():
-    """Duplicate coordinates must count multiply; < k valid candidates -> inf."""
+    """Duplicate coordinates must count multiply; < k valid candidates ->
+    mean over the min(k, n) found (SearchKNN semantics, oracles.py)."""
     import jax.numpy as jnp
 
     from semantic_depth_tpu.ops.pallas_exact_knn import knn_mean_distances_exact_pallas
@@ -70,7 +71,8 @@ def test_exact_pallas_knn_duplicates_and_sparse():
     np.testing.assert_allclose(got[4], 3.0 / 4.0, atol=1e-6)
     assert np.all(np.isinf(got[5:]))
 
-    # fewer than k valid candidates in the whole cloud -> inf everywhere valid
+    # fewer than k valid candidates in the whole cloud -> average over the
+    # n that exist (upstream SearchKNN returns min(k, n) neighbors)
     valid2 = np.zeros(capacity, bool)
     valid2[:3] = True
     got2 = np.asarray(
@@ -78,7 +80,9 @@ def test_exact_pallas_knn_duplicates_and_sparse():
             jnp.asarray(xyz), jnp.asarray(valid2), 4, tq=128, cb=128
         )
     )
-    assert np.all(np.isinf(got2[:3]))
+    want2 = o.o_knn_mean_distances(xyz[:3], 4)
+    np.testing.assert_allclose(got2[:3], want2, rtol=1e-6)
+    assert np.all(np.isinf(got2[3:]))
 
 
 def test_radius_counts_pallas_matches_xla_path():
@@ -196,7 +200,7 @@ def test_radius_filter_weighted():
     w = jnp.asarray(rng.uniform(0.5, 4.0, size=(256,)).astype(np.float32))
     got = neighbors.radius_outlier_filter(cloud, 10, 1.0, weights=w)
     d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
-    est = np.where(d2 <= 1.0, np.asarray(w)[None, :], 0.0).sum(1)
+    est = np.where(d2 < 1.0, np.asarray(w)[None, :], 0.0).sum(1)
     np.testing.assert_array_equal(np.asarray(got.valid), est > 10)
 
 
@@ -229,3 +233,119 @@ def test_select_slab_priority():
     sel2, stride2 = pcl.select_slab_priority(cloud, 2048, 2, lo, hi)
     assert int(stride2) == 1
     assert np.asarray(sel2.valid).all()
+
+
+def test_radius_counts_pallas_masks_invalid_weights():
+    """Invalid candidate rows sit at the ORIGIN in the kernel's coordinate
+    planes; a nonzero weight there must not be counted for queries near the
+    origin (the kernel masks weights by validity itself — callers are not
+    required to pre-zero them)."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import radius_counts_pallas
+
+    rng = np.random.default_rng(8)
+    xyz = (rng.normal(size=(256, 3)) * 0.3).astype(np.float32)  # all near 0
+    valid = np.ones(256, bool)
+    valid[::4] = False
+    w = np.full(256, 2.0, np.float32)  # deliberately nonzero on invalid rows
+    got = np.asarray(
+        radius_counts_pallas(
+            jnp.asarray(xyz), jnp.asarray(valid), 1.0, tq=128, cb=128,
+            weights=jnp.asarray(w),
+        )
+    )
+    d2 = ((xyz[:, None] - xyz[None]) ** 2).sum(-1)
+    want = np.where(
+        valid, np.where((d2 <= 1.0) & valid[None, :], 2.0, 0.0).sum(1), 0.0
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _masked(pts):
+    import jax.numpy as jnp
+
+    n = pts.shape[0]
+    return pcl.MaskedCloud(
+        xyz=jnp.asarray(pts, jnp.float32), rgb=jnp.zeros((n, 3), jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+
+
+def test_radius_strictness_matches_flann():
+    """FLANN's RadiusResultSet admits squared distance STRICTLY below r^2 —
+    a pair at exactly the radius must NOT count (all code paths)."""
+    import jax.numpy as jnp
+
+    # distances exactly 0.5 apart: d^2 = 0.25, exactly representable in f32
+    pts = np.zeros((8, 3), np.float32)
+    pts[:, 0] = np.arange(8) * 0.5
+    cloud = _masked(pts)
+    counts = np.asarray(neighbors.radius_counts(cloud, 0.5, block_size=8))
+    # only the point itself is strictly within 0.5 of itself
+    np.testing.assert_array_equal(counts, np.ones(8, np.int32))
+    ref_p, _ = o.o_radius_filter(pts, pts, 0, 0.5)
+    assert ref_p.shape[0] == 8  # count 1 > 0 survives; ties excluded
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import radius_counts_pallas
+
+    pts128 = np.zeros((128, 3), np.float32)
+    pts128[:, 0] = np.arange(128) * 0.5
+    got = np.asarray(
+        radius_counts_pallas(
+            jnp.asarray(pts128), jnp.ones(128, bool), 0.5, tq=128, cb=128
+        )
+    )
+    np.testing.assert_array_equal(got, np.ones(128, np.int32))
+
+
+def test_statistical_duplicate_cluster_removed():
+    """A point lying on >= k-1 exact duplicates has avg_distance == 0 and is
+    removed by the upstream `avg > 0` condition (oracle + kernel agree)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(64, 3)).astype(np.float32) * 0.2
+    dup = np.tile(np.asarray([[5.0, 5.0, 5.0]], np.float32), (6, 1))  # 6 >= k=4
+    pts = np.concatenate([base, dup])
+    cloud = _masked(pts)
+    got = neighbors.statistical_outlier_filter(cloud, 4, 2.0)
+    got_valid = np.asarray(got.valid)
+    assert not got_valid[64:].any(), "duplicate cluster must be removed"
+    ref_p, _ = o.o_statistical_filter(pts, pts, 4, 2.0)
+    got_p = np.asarray(cloud.xyz)[got_valid]
+    assert got_p.shape == ref_p.shape
+    np.testing.assert_allclose(
+        got_p[np.lexsort(got_p.T)], ref_p[np.lexsort(ref_p.T)], atol=1e-6
+    )
+
+
+def test_statistical_small_cloud_averages_over_n():
+    """Clouds smaller than nb_neighbors: SearchKNN returns min(k, n)
+    neighbors and the mean divides by that — points must NOT be assigned
+    +inf means (which would remove everything)."""
+    rng = np.random.default_rng(12)
+    pts = rng.normal(size=(6, 3)).astype(np.float32)  # n=6 < k=10
+    cloud = _masked(pts)
+    md = np.asarray(neighbors.knn_mean_distances(cloud, 10, block_size=6))
+    want = o.o_knn_mean_distances(pts, 10)
+    np.testing.assert_allclose(md, want, rtol=1e-5)
+    got = neighbors.statistical_outlier_filter(cloud, 10, 2.0)
+    ref_p, _ = o.o_statistical_filter(pts, pts, 10, 2.0)
+    got_p = np.asarray(cloud.xyz)[np.asarray(got.valid)]
+    assert got_p.shape == ref_p.shape
+
+    # and the Pallas exact path (interpret mode off-TPU), padded to 256
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import knn_mean_distances_exact_pallas
+
+    xyz = np.zeros((256, 3), np.float32)
+    xyz[:6] = pts
+    valid = np.zeros(256, bool)
+    valid[:6] = True
+    got_md = np.asarray(
+        knn_mean_distances_exact_pallas(
+            jnp.asarray(xyz), jnp.asarray(valid), 10, tq=128, cb=128
+        )
+    )
+    np.testing.assert_allclose(got_md[:6], want, rtol=1e-5)
+    assert np.isinf(got_md[6:]).all()

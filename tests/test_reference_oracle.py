@@ -402,8 +402,8 @@ def _tf_fcn_forward(x, V, width_mult, fc_channels, num_classes):
     return u8.numpy()
 
 
-def test_fcn_forward_matches_tf_reference_graph(tmp_path):
-    """Full-graph golden: TF executes the reference architecture at 256x512,
+def _fcn_golden_roundtrip(tmp_path, width_mult, fc_channels, seed=21):
+    """Shared machinery: TF executes the reference architecture at 256x512,
     the weights round-trip through a real TF1 checkpoint and our converter,
     and the flax FCN8s forward must reproduce TF's logits."""
     tf = pytest.importorskip("tensorflow")
@@ -412,10 +412,10 @@ def test_fcn_forward_matches_tf_reference_graph(tmp_path):
     from semantic_depth_tpu.models import FCN8s
     from semantic_depth_tpu.models import weights as W
 
-    width_mult, fc_channels, nc = 0.125, 64, 3
-    V = _tf_fcn_weights(width_mult, fc_channels, nc, seed=21)
+    nc = 3
+    V = _tf_fcn_weights(width_mult, fc_channels, nc, seed=seed)
 
-    rng = np.random.default_rng(22)
+    rng = np.random.default_rng(seed + 1)
     x = rng.uniform(0, 255, size=(1, 256, 512, 3)).astype(np.float32)
     tf_logits = _tf_fcn_forward(x, V, width_mult, fc_channels, nc)
 
@@ -446,6 +446,24 @@ def test_fcn_forward_matches_tf_reference_graph(tmp_path):
         return sm > 0.5
 
     np.testing.assert_array_equal(masks(jx_logits), masks(tf_logits))
+
+
+def test_fcn_forward_matches_tf_reference_graph(tmp_path):
+    """Width-scaled full-graph golden (fast; runs in every CI pass)."""
+    _fcn_golden_roundtrip(tmp_path, width_mult=0.125, fc_channels=64)
+
+
+@pytest.mark.slow
+def test_fcn_forward_matches_tf_reference_graph_full_width(tmp_path):
+    """PRODUCTION-SCALE golden: the real 4096-channel fc6/fc7 and full VGG16
+    stack (width_mult 1.0) through TF, a real TF1 checkpoint round-trip, the
+    converter, and the flax forward — the last converter/architecture risk
+    before published weights arrive. ~134M params, several minutes on CPU;
+    deselected by default (pyproject addopts), run once per round with:
+
+        python -m pytest tests/test_reference_oracle.py -m slow -q
+    """
+    _fcn_golden_roundtrip(tmp_path, width_mult=1.0, fc_channels=4096)
 
 
 # ---------------------------------------------------------------------------

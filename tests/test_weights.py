@@ -231,3 +231,76 @@ def test_monodepth_deconv_converter(tmp_path):
     )
     disps = model.apply(grafted, x)
     assert disps[0].shape == (2, 128, 256, 2)
+
+
+def _tf_bilinear_sampler_1d_h(input_images, x_offset, wrap_mode="border"):
+    """Live-TF transcription of the published monodepth bilinear_sampler_1d_h
+    (upstream bilinear_sampler.py — vendored but absent in the reference,
+    monodepth_lib/README.md:3). Semantics transcribed per-branch:
+
+    * 'border': pad a ONE-PIXEL ZERO frame (tf.pad CONSTANT, edge_size 1),
+      shift coords by +edge_size, clip x to [0, (W-1) + 2*edge_size];
+    * x1 = min(x0 + 1, padded max) for the gather, but the LEFT weight uses
+      the un-clipped x1_f = x0_f + 1 (so weights always sum to 1);
+    * flat gather with base = batch*H_p*W_p + y*W_p indexing.
+
+    Built here with TF ops as an executable oracle for ops/sampler.py.
+    """
+    b, h, w, c = input_images.shape
+    edge = 1 if wrap_mode == "border" else 0
+    im = input_images
+    if wrap_mode == "border":
+        im = tf.pad(im, [[0, 0], [1, 1], [1, 1], [0, 0]], mode="CONSTANT")
+    hp, wp = h + 2 * edge, w + 2 * edge
+    x_t, y_t = tf.meshgrid(
+        tf.linspace(0.0, w - 1.0, w), tf.linspace(0.0, h - 1.0, h)
+    )
+    x_t = tf.tile(x_t[None], [b, 1, 1])
+    y_t = tf.tile(y_t[None], [b, 1, 1])
+    x = tf.reshape(x_t, [-1]) + tf.reshape(x_offset, [-1]) * float(w) + edge
+    y = tf.reshape(y_t, [-1]) + edge
+    x = tf.clip_by_value(x, 0.0, float(w - 1 + 2 * edge))
+    x0_f = tf.floor(x)
+    x1_f = x0_f + 1
+    x0 = tf.cast(x0_f, tf.int32)
+    x1 = tf.cast(tf.minimum(x1_f, float(w - 1 + 2 * edge)), tf.int32)
+    dim2 = wp
+    dim1 = wp * hp
+    base = tf.repeat(tf.range(b) * dim1, h * w)
+    base_y0 = base + tf.cast(y, tf.int32) * dim2
+    im_flat = tf.reshape(im, [-1, c])
+    pix_l = tf.gather(im_flat, base_y0 + x0)
+    pix_r = tf.gather(im_flat, base_y0 + x1)
+    weight_l = tf.expand_dims(x1_f - x, 1)
+    weight_r = tf.expand_dims(x - x0_f, 1)
+    out = weight_l * pix_l + weight_r * pix_r
+    return tf.reshape(out, [b, h, w, c])
+
+
+def test_bilinear_sampler_matches_tf_twin():
+    """ops/sampler.py vs the live-TF transcription of the published sampler:
+    interior samples, border blends toward the zero pad, and far
+    out-of-range offsets (fully zero) must all agree."""
+    from semantic_depth_tpu.ops import sampler
+
+    rng = np.random.default_rng(3)
+    b, h, w, c = 2, 8, 32, 3
+    img = rng.uniform(0, 1, size=(b, h, w, c)).astype(np.float32)
+    cases = {
+        "interior": rng.uniform(-0.2, 0.2, size=(b, h, w)).astype(np.float32),
+        "subpixel": rng.uniform(-2.0 / w, 2.0 / w, size=(b, h, w)).astype(np.float32),
+        "far-out-of-range": rng.uniform(-2.0, 2.0, size=(b, h, w)).astype(np.float32),
+        "zeros": np.zeros((b, h, w), np.float32),
+    }
+    for name, off in cases.items():
+        want = _tf_bilinear_sampler_1d_h(
+            tf.constant(img), tf.constant(off), "border"
+        ).numpy()
+        got = np.asarray(sampler.bilinear_sample_x(jnp.asarray(img), jnp.asarray(off)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, err_msg=name)
+
+    # the warp helpers are sign conventions over the same primitive
+    disp = rng.uniform(0, 0.3, size=(b, h, w)).astype(np.float32)
+    want = _tf_bilinear_sampler_1d_h(tf.constant(img), tf.constant(-disp)).numpy()
+    got = np.asarray(sampler.warp_right_to_left(jnp.asarray(img), jnp.asarray(disp)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
