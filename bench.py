@@ -13,23 +13,35 @@ batches of 8 through the fused ``process_batch`` program (the sequence entry
 point's batch path); all per-frame scalar results are stacked on device and
 fetched in one transfer per batch.
 
-* Frames are synthetic road scenes from ``utils.make_mockup`` (textured
-  ground, road trapezoid, fence bands) rendered at 1024x2048 — realistic
-  mask occupancy for the geometry chain, not random noise. A pool of
-  distinct scenes is uploaded once and cycled; frames stay device-resident
-  because this dev environment reaches the chip through a ~30 MB/s relay
-  (a fresh 24 MB upload costs ~1 s here vs ~3 ms on a production host's
-  PCIe), so resident buffers measure the pipeline rather than the relay.
+* Frames are 3D-CONSISTENT synthetic road scenes (``utils.bench_scenes``):
+  a true ground-plane corridor + fence planes rendered through the
+  pipeline's own pinhole model, so every scene has an ANALYTIC road width.
+  A pool of distinct scenes is uploaded once and cycled; frames stay
+  device-resident because this dev environment reaches the chip through a
+  ~30 MB/s relay (a fresh 6 MB uint8 upload costs ~0.2 s here vs ~1 ms on a
+  production host's PCIe), so resident buffers measure the pipeline rather
+  than the relay.
+* The networks run REAL weights trained on such scenes
+  (tools/train_bench_weights.py; cached in .bench_weights/ and retrained
+  automatically when absent), so the bench also reports CORRECTNESS:
+  ``finite_frac`` (fraction of frames with a finite road width) and
+  ``rw_mae_m`` (MAE vs the analytic width — the reference's own accuracy
+  protocol is a hand-measured MAE sweep, semantic_depth.py:903-937). If
+  training fails the bench falls back to random weights and reports
+  ``weights: "random"`` (timings remain valid: the masked fixed-capacity
+  geometry makes cost occupancy-independent).
 * >=104 frames per trial, 3 trials. The JSON carries mean/best/std across
   trials; the headline ``value`` is the best trial (the shared dev chip's
   throughput varies several-fold with external tenancy; best-of-N is the
   least-contended sample).
 * ``mfu``: model FLOPs utilization — XLA's own cost analysis of the compiled
   batch executable (flops per batch x batches/s) against the chip's peak
-  bf16 FLOP/s (per-generation table below).
+  bf16 FLOP/s (per-generation table below). ``measured_peak_matmul_tflops``
+  is a CHAINED big-matmul probe (data-dependent fori_loop, overheads
+  amortized) — the sustained ceiling this chip+stack actually reaches.
 * ``full_res_fps``: the native 1024x2048 path (networks run at full
   resolution — no downsample round trip; the reference cannot do this at
-  all), measured over the same scene pool.
+  all), measured over the same scene pool, with its own accuracy fields.
 """
 
 import json
@@ -48,6 +60,7 @@ TRIALS = 3
 # conv maps (batch 2 -> 10.8 fps, batch 4 -> 14.6 on a quiet chip).
 FULL_RES_BATCH = 4
 FULL_RES_FRAMES = 16
+BENCH_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_weights")
 
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).
 _PEAK_TFLOPS = [
@@ -71,26 +84,33 @@ def _peak_flops(device) -> float:
 
 def _measured_peak(jnp, jax, np):
     """Sustained big-matmul bf16 TFLOP/s on THIS chip/stack — the honest MFU
-    denominator (the dev chip sustains ~30% of nominal peak through its
-    runtime stack; nominal-peak MFU alone understates pipeline quality)."""
+    denominator. The matmuls are CHAINED (each consumes the previous result
+    inside a fori_loop) so the ~5 ms dispatch / ~30 ms fetch overheads of the
+    dev relay are amortized over the whole chain; a naive per-call probe on
+    this relay under-reads the ceiling ~2x."""
     try:
-        n = 8192
-        a = jnp.zeros((n, n), jnp.bfloat16)
-        b = jnp.zeros((n, n), jnp.bfloat16)
+        n, iters, calls = 8192, 16, 3
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (n, n), jnp.bfloat16)
+        b = jax.random.normal(key, (n, n), jnp.bfloat16)
 
-        f = jax.jit(
-            lambda x, y: jnp.dot(
-                x, y, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
-        )
-        np.asarray(f(a, b).ravel()[:1])  # compile
+        @jax.jit
+        def chain(x, y):
+            def body(_, acc):
+                z = jnp.dot(acc, y, preferred_element_type=jnp.float32)
+                return (z * (1.0 / n)).astype(jnp.bfloat16)  # keep finite
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        np.asarray(chain(a, b).ravel()[:1])  # compile
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            for _ in range(6):
-                r = f(a, b)
+            r = a
+            for _ in range(calls):
+                r = chain(r, b)
             np.asarray(r.ravel()[:1])
-            best = min(best, (time.time() - t0) / 6)
+            best = min(best, (time.time() - t0) / (calls * iters))
         return 2 * n**3 / best
     except Exception:
         return None
@@ -106,16 +126,6 @@ def _compiled_flops(jitted, *args):
         return f if f > 0 else None
     except Exception:
         return None
-
-
-def _scene_pool(n_frames, h, w, seed=0):
-    """Distinct make_mockup road scenes at (h, w)."""
-    import numpy as np
-
-    from semantic_depth_tpu.utils.make_mockup import _scene
-
-    rng = np.random.default_rng(seed)
-    return np.stack([_scene(rng, h, w)[0] for _ in range(n_frames)])
 
 
 def _run_trials(pipe, batches, n_batches_per_trial, trials):
@@ -141,6 +151,41 @@ def _run_trials(pipe, batches, n_batches_per_trial, trials):
     return float(fps.max()), float(fps.mean()), float(fps.std())
 
 
+def _accuracy(pipe, batches, rw_true):
+    """finite_frac + rw MAE over the distinct pool scenes (one pass)."""
+    import numpy as np
+
+    widths = np.concatenate([np.asarray(pipe.process_batch(b).dist_rw) for b in batches])
+    rw_true = np.asarray(rw_true)[: widths.size]
+    finite = np.isfinite(widths)
+    finite_frac = float(finite.mean())
+    mae = float(np.abs(widths[finite] - rw_true[finite]).mean()) if finite.any() else None
+    return finite_frac, mae
+
+
+def _load_bench_weights(fcn, mono, h, w, log):
+    """Trained scene weights (train-on-first-run, cached); random fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.models import weights as weights_lib
+
+    fcn_t = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    mono_t = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, h, w, 3), jnp.float32))
+    try:
+        from tools.train_bench_weights import ensure_bench_weights
+
+        fcn_path, mono_path = ensure_bench_weights(BENCH_WEIGHTS_DIR, log=log)
+        return (
+            weights_lib.load_params(fcn_t, fcn_path),
+            weights_lib.load_params(mono_t, mono_path),
+            "trained",
+        )
+    except Exception as e:
+        log(f"bench-weight training failed ({type(e).__name__}: {e}); random weights")
+        return fcn_t, mono_t, "random"
+
+
 def main():
     import numpy as np
 
@@ -154,6 +199,10 @@ def main():
     from semantic_depth_tpu.config import munich_pipeline_config
     from semantic_depth_tpu.models import FCN8s, Monodepth
     from semantic_depth_tpu.pipeline import SemanticDepthPipeline
+    from semantic_depth_tpu.utils.bench_scenes import scene_pool
+
+    def log(*a):
+        print(*a, file=sys.stderr)
 
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
@@ -162,11 +211,11 @@ def main():
     fcn = FCN8s(num_classes=cfg.segmenter.num_classes, compute_dtype=jnp.bfloat16)
     mono = Monodepth(encoder=cfg.monodepth.encoder, compute_dtype=jnp.bfloat16)
     h, w = cfg.input_height, cfg.input_width
-    fcn_params = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
-    mono_params = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, h, w, 3), jnp.float32))
+    fcn_params, mono_params, weight_mode = _load_bench_weights(fcn, mono, h, w, log)
     pipe = SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
 
-    pool = _scene_pool(POOL_BATCHES * BATCH, 1024, 2048)
+    n_pool = POOL_BATCHES * BATCH
+    pool, _, _, rw_true = scene_pool(n_pool, 1024, 2048, seed=0)
     batches = [
         jax.device_put(jnp.asarray(pool[i * BATCH : (i + 1) * BATCH]))
         for i in range(POOL_BATCHES)
@@ -182,6 +231,7 @@ def main():
 
     n_batches = max(1, (FRAMES_PER_TRIAL + BATCH - 1) // BATCH)
     best_fps, mean_fps, std_fps = _run_trials(pipe, batches, n_batches, TRIALS)
+    finite_frac, rw_mae = _accuracy(pipe, batches, rw_true)
 
     mfu = None
     flops_per_frame = None
@@ -198,6 +248,7 @@ def main():
     del batches
     del pipe
     full_res_fps = None
+    fr_finite = fr_mae = None
     try:
         cfg_fr = munich_pipeline_config(
             compute_dtype="bfloat16", input_height=1024, input_width=2048
@@ -206,13 +257,14 @@ def main():
         pipe_fr = SemanticDepthPipeline(cfg_fr, fcn_params, mono_params, fcn=fcn, mono=mono)
         fr_batches = [
             jax.device_put(jnp.asarray(pool[i * FULL_RES_BATCH : (i + 1) * FULL_RES_BATCH]))
-            for i in range(min(4, max(1, len(pool) // FULL_RES_BATCH)))
+            for i in range(min(4, max(1, n_pool // FULL_RES_BATCH)))
         ]
         _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
         n_fr = max(1, FULL_RES_FRAMES // FULL_RES_BATCH)
         full_res_fps, _, _ = _run_trials(pipe_fr, fr_batches, n_fr, 2)
+        fr_finite, fr_mae = _accuracy(pipe_fr, fr_batches, rw_true)
     except Exception as e:  # full-res is a capability line, not the headline
-        print(f"full-res bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        log(f"full-res bench skipped: {type(e).__name__}: {e}")
 
     out = {
         "metric": "end-to-end fps/chip, 1024x2048 frame -> road-width scalar",
@@ -225,7 +277,11 @@ def main():
         "frames_per_trial": n_batches * BATCH,
         "trials": TRIALS,
         "device_kind": getattr(dev, "device_kind", str(dev)),
+        "weights": weight_mode,
+        "finite_frac": round(finite_frac, 4),
     }
+    if rw_mae is not None:
+        out["rw_mae_m"] = round(rw_mae, 4)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["model_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
@@ -237,6 +293,10 @@ def main():
     if full_res_fps is not None:
         out["full_res_fps"] = round(full_res_fps, 3)
         out["full_res_vs_baseline"] = round(full_res_fps / REFERENCE_FPS, 2)
+        if fr_finite is not None:
+            out["full_res_finite_frac"] = round(fr_finite, 4)
+        if fr_mae is not None:
+            out["full_res_rw_mae_m"] = round(fr_mae, 4)
     print(json.dumps(out))
 
 

@@ -1,0 +1,269 @@
+"""Train (or load cached) full-size networks on 3D-consistent synthetic
+scenes so the benchmark measures a pipeline that computes CORRECT road
+widths, not just a fast one.
+
+Protocol (the bench's accuracy leg — the reference's analog is the Munich
+hand-measured MAE sweep, semantic_depth.py:903-937):
+
+* scenes: ``utils.bench_scenes`` renders a true 3D corridor through the
+  pipeline's own pinhole model — every pixel has an analytic class label and
+  disparity, and the scene has an exact road width;
+* FCN-8s: supervised 3-class cross-entropy;
+* monodepth: supervised multi-scale L1 against the analytic normalized
+  disparity, ROAD-WEIGHTED (the rw metric's precision lives on road pixels;
+  the reference never shipped its trainer — the self-supervised stereo
+  objective lives in train/monodepth_trainer.py; here supervision is the
+  point: the bench needs a net that reproduces the scene geometry);
+* BOTH networks train at the reference working resolution (256x512) and
+  then fine-tune with MIXED-resolution phases including native 1024x2048 —
+  the full-res pipeline feeds frames to the nets without the downsample
+  round trip, and a 256x512-only net collapses there (measured road IoU
+  0.16-0.35 before mixed training);
+* weights are cached in ``.bench_weights/`` as msgpack and reused across
+  rounds (seeded and deterministic per seed).
+
+TPU notes: each phase's scene pool is uploaded ONCE and batches are gathered
+on-device by traced indices — per-step host->device traffic is a handful of
+int32s (this container reaches its chip over a ~30 MB/s relay; per-image
+uploads would dominate, see memory/tpu-perf-findings).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_HW = (256, 512)  # the reference networks' working resolution
+FULL_HW = (1024, 2048)  # the native full-res pipeline's input
+
+# (hw, n_scenes, batch, steps) per phase; later phases continue the same
+# params/optimizer. The mixed tail interleaves resolutions so neither regime
+# is forgotten.
+FCN_PHASES = [(TRAIN_HW, 64, 8, 900), (FULL_HW, 24, 2, 250), (TRAIN_HW, 64, 8, 150)]
+MONO_PHASES = [(TRAIN_HW, 64, 8, 4000), (FULL_HW, 24, 2, 700), (TRAIN_HW, 64, 8, 500)]
+
+
+def _onehot_labels(labels: np.ndarray) -> np.ndarray:
+    """(N, H, W) uint8 label ids -> (N, H, W, 3) float32 one-hot
+    (road 7 / fence 13 / background — train.data.prepare_ground_truth
+    encoding, helper.py:149-177)."""
+    out = np.zeros(labels.shape + (3,), np.float32)
+    out[..., 0] = labels == 7
+    out[..., 1] = labels == 13
+    out[..., 2] = ~((labels == 7) | (labels == 13))
+    return out
+
+
+def _pools(phases, seed):
+    """Render one scene pool per distinct resolution in ``phases``."""
+    from semantic_depth_tpu.utils.bench_scenes import scene_pool
+
+    pools = {}
+    for hw, n, _, _ in phases:
+        if hw not in pools:
+            h, w = hw
+            pools[hw] = scene_pool(n, h, w, seed=seed + 100 + h)
+    return pools
+
+
+def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
+              seed=0, log=print):
+    """Supervised FCN-8s training over mixed-resolution phases."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from semantic_depth_tpu.models import FCN8s
+
+    # f32 training: the pipeline's bf16 modules reuse these params at
+    # inference (param trees are dtype-independent); f32 keeps the regression
+    # at the precision the rw metric needs, and the s2d conv transform's VJP
+    # doesn't support mixed bf16/f32 cotangents.
+    fcn = FCN8s(num_classes=3, width_mult=width_mult, fc_channels=fc_channels)
+    params = fcn.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 128, 3), jnp.float32))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    pools = _pools(phases, seed)
+    rng = np.random.default_rng(seed)
+
+    for pi, (hw, n, batch, steps) in enumerate(phases):
+        imgs, labels, _, _ = pools[hw]
+        # pools ride as jit ARGUMENTS (device-resident), never closure
+        # constants (constants bake into the XLA module); one-hot stays uint8
+        # on device, cast per batch
+        imgs_dev = jax.device_put(jnp.asarray(imgs[:n]))
+        gts_dev = jax.device_put(jnp.asarray(_onehot_labels(labels[:n]).astype(np.uint8)))
+
+        @jax.jit
+        def step(params, opt_state, idx, flip, imgs_dev, gts_dev):
+            x = jnp.take(imgs_dev, idx, axis=0).astype(jnp.float32)
+            y = jnp.take(gts_dev, idx, axis=0).astype(jnp.float32)
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+            y = jnp.where(flip[:, None, None, None], y[:, :, ::-1], y)
+
+            def loss_fn(p):
+                logits = fcn.apply(p, x)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return -jnp.mean(jnp.sum(y * logp, axis=-1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t0 = time.time()
+        for i in range(steps):
+            idx = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
+            flip = jnp.asarray(rng.integers(0, 2, size=batch).astype(bool))
+            params, opt_state, loss = step(params, opt_state, idx, flip,
+                                           imgs_dev, gts_dev)
+            if i % 100 == 0 or i == steps - 1:
+                log(f"  fcn ph{pi} {hw} step {i}: loss {float(loss):.4f} "
+                    f"({time.time()-t0:.0f}s)")
+    return params
+
+
+def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
+               seed=0, road_weight=4.0, log=print):
+    """Supervised monodepth: road-weighted multi-scale L1 on the finest-first
+    left-disparity pyramid vs 2x-avg-pooled analytic targets, over
+    mixed-resolution phases."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from semantic_depth_tpu.models import Monodepth
+
+    mono = Monodepth(encoder=encoder, width_mult=width_mult)
+    # init at the smallest vgg-legal shape (the pyramid needs H, W >= 128x2)
+    params = mono.init(jax.random.PRNGKey(seed + 1), jnp.zeros((2, 128, 256, 3), jnp.float32))
+    total_steps = sum(s for *_, s in phases)
+    sched = optax.cosine_decay_schedule(lr, total_steps)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    pools = _pools(phases, seed + 1000)
+    rng = np.random.default_rng(seed + 2)
+
+    def pool2(x):  # (B, H, W) -> (B, H/2, W/2) average pool
+        b, hh, ww = x.shape
+        return x.reshape(b, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+
+    for pi, (hw, n, batch, steps) in enumerate(phases):
+        imgs, labels, disps, _ = pools[hw]
+        imgs_dev = jax.device_put(jnp.asarray(imgs[:n]))
+        disp_dev = jax.device_put(jnp.asarray(disps[:n]))
+        road_dev = jax.device_put(jnp.asarray((labels[:n] == 7)))
+
+        @jax.jit
+        def step(params, opt_state, idx, flip, imgs_dev, disp_dev, road_dev):
+            x = jnp.take(imgs_dev, idx, axis=0).astype(jnp.float32) / 255.0
+            d = jnp.take(disp_dev, idx, axis=0)
+            wm = 1.0 + jnp.float32(road_weight) * jnp.take(
+                road_dev, idx, axis=0
+            ).astype(jnp.float32)
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+            d = jnp.where(flip[:, None, None], d[:, :, ::-1], d)
+            wm = jnp.where(flip[:, None, None], wm[:, :, ::-1], wm)
+
+            def loss_fn(p):
+                disps_pred = mono.apply(p, x)  # finest-first
+                loss = 0.0
+                tgt, ww = d, wm
+                for i, dp in enumerate(disps_pred):
+                    err = jnp.abs(dp[..., 0] - tgt) * ww
+                    loss = loss + jnp.sum(err) / jnp.sum(ww) / (2.0**i)
+                    if i + 1 < len(disps_pred):
+                        tgt, ww = pool2(tgt), pool2(ww)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t0 = time.time()
+        for i in range(steps):
+            idx = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
+            flip = jnp.asarray(rng.integers(0, 2, size=batch).astype(bool))
+            params, opt_state, loss = step(params, opt_state, idx, flip,
+                                           imgs_dev, disp_dev, road_dev)
+            if i % 250 == 0 or i == steps - 1:
+                log(f"  mono ph{pi} {hw} step {i}: loss {float(loss):.6f} "
+                    f"({time.time()-t0:.0f}s)")
+    return params
+
+
+def ensure_bench_weights(
+    out_dir=".bench_weights",
+    seed=0,
+    width_mult=1.0,
+    fc_channels=4096,
+    fcn_phases=None,
+    mono_phases=None,
+    force=False,
+    log=print,
+):
+    """Return (fcn_msgpack, mono_msgpack) paths, training + caching if absent."""
+    from semantic_depth_tpu.models import weights as weights_lib
+
+    os.makedirs(out_dir, exist_ok=True)
+    fcn_path = os.path.join(out_dir, "fcn8s.msgpack")
+    mono_path = os.path.join(out_dir, "monodepth.msgpack")
+    if not force and os.path.exists(fcn_path) and os.path.exists(mono_path):
+        return fcn_path, mono_path
+
+    if force or not os.path.exists(fcn_path):
+        log("training FCN-8s ...")
+        fcn_params = train_fcn(
+            fcn_phases or FCN_PHASES, width_mult=width_mult,
+            fc_channels=fc_channels, seed=seed, log=log,
+        )
+        weights_lib.save_params(fcn_params, fcn_path)
+        log(f"saved {fcn_path}")
+    if force or not os.path.exists(mono_path):
+        log("training monodepth ...")
+        mono_params = train_mono(
+            mono_phases or MONO_PHASES, width_mult=width_mult, seed=seed, log=log,
+        )
+        weights_lib.save_params(mono_params, mono_path)
+        log(f"saved {mono_path}")
+    return fcn_path, mono_path
+
+
+def main():
+    import argparse
+
+    from semantic_depth_tpu.runtime import setup_cache
+
+    setup_cache()
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--out_dir", default=".bench_weights")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--which", choices=["both", "fcn", "mono"], default="both")
+    args = p.parse_args()
+    fcn_phases, mono_phases = FCN_PHASES, MONO_PHASES
+    if args.which == "fcn":
+        mono_phases = []  # untouched if cached
+    if args.which == "mono":
+        fcn_phases = []
+
+    def logf(*a):
+        print(*a, flush=True)
+
+    if args.which in ("both", "fcn"):
+        if args.force and os.path.exists(os.path.join(args.out_dir, "fcn8s.msgpack")):
+            os.remove(os.path.join(args.out_dir, "fcn8s.msgpack"))
+    if args.which in ("both", "mono"):
+        if args.force and os.path.exists(os.path.join(args.out_dir, "monodepth.msgpack")):
+            os.remove(os.path.join(args.out_dir, "monodepth.msgpack"))
+    ensure_bench_weights(args.out_dir, seed=args.seed, log=logf)
+
+
+if __name__ == "__main__":
+    main()
