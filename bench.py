@@ -163,8 +163,10 @@ def _accuracy(pipe, batches, rw_true):
     return finite_frac, mae
 
 
-def _load_bench_weights(fcn, mono, h, w, log):
-    """Trained scene weights (train-on-first-run, cached); random fallback."""
+def _load_bench_weights(fcn, mono, h, w, log, full_res=False):
+    """Trained scene weights (train-on-first-run, cached); random fallback.
+    full_res=True loads the set fine-tuned at native 1024x2048 (a 256x512
+    net collapses on full-res inputs — see tools/train_bench_weights.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +177,9 @@ def _load_bench_weights(fcn, mono, h, w, log):
     try:
         from tools.train_bench_weights import ensure_bench_weights
 
-        fcn_path, mono_path = ensure_bench_weights(BENCH_WEIGHTS_DIR, log=log)
+        fcn_path, mono_path = ensure_bench_weights(
+            BENCH_WEIGHTS_DIR, full_res=full_res, log=log
+        )
         return (
             weights_lib.load_params(fcn_t, fcn_path),
             weights_lib.load_params(mono_t, mono_path),
@@ -253,8 +257,15 @@ def main():
         cfg_fr = munich_pipeline_config(
             compute_dtype="bfloat16", input_height=1024, input_width=2048
         )
-        # conv-net weights are resolution-independent: reuse the same params
-        pipe_fr = SemanticDepthPipeline(cfg_fr, fcn_params, mono_params, fcn=fcn, mono=mono)
+        # parameter TREES are resolution-independent, but the full-res mode
+        # loads the set fine-tuned at its native input scale
+        # template init at 256x512 (param trees are input-shape independent)
+        fcn_params_fr, mono_params_fr, _ = _load_bench_weights(
+            fcn, mono, h, w, log, full_res=(weight_mode == "trained")
+        )
+        pipe_fr = SemanticDepthPipeline(
+            cfg_fr, fcn_params_fr, mono_params_fr, fcn=fcn, mono=mono
+        )
         fr_batches = [
             jax.device_put(jnp.asarray(pool[i * FULL_RES_BATCH : (i + 1) * FULL_RES_BATCH]))
             for i in range(min(4, max(1, n_pool // FULL_RES_BATCH)))

@@ -47,3 +47,22 @@ def test_conv3x3_bf16():
         _xla_conv(x, k.astype(jnp.bfloat16), bias, True).astype(jnp.float32)
     )
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_fcn_pallas_blocks_matches_plain():
+    """FCN8s(pallas_blocks=True) must produce the plain path's logits from
+    the SAME parameter tree (checkpoint drop-in; blocks 1-2 routed through
+    ops/pallas_conv)."""
+    from semantic_depth_tpu.models import FCN8s
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 128, 3)), jnp.float32)
+    plain = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64)
+    fast = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64, pallas_blocks=True)
+    p = plain.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(plain.apply(p, x))
+    b = np.asarray(fast.apply(p, x))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(a).max())
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        fast.init(jax.random.PRNGKey(0), x)
+    )

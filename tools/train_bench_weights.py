@@ -14,11 +14,14 @@ hand-measured MAE sweep, semantic_depth.py:903-937):
   the reference never shipped its trainer — the self-supervised stereo
   objective lives in train/monodepth_trainer.py; here supervision is the
   point: the bench needs a net that reproduces the scene geometry);
-* BOTH networks train at the reference working resolution (256x512) and
-  then fine-tune with MIXED-resolution phases including native 1024x2048 —
-  the full-res pipeline feeds frames to the nets without the downsample
-  round trip, and a 256x512-only net collapses there (measured road IoU
-  0.16-0.35 before mixed training);
+* TWO weight sets per network: the headline set trains at the reference
+  working resolution (256x512); the FULL-RES set initializes from it and
+  fine-tunes at native 1024x2048 only. The full-res pipeline feeds frames
+  to the nets without the downsample round trip and a 256x512 net collapses
+  there (measured road IoU 0.16-0.35); interleaving resolutions in ONE set
+  degraded both regimes (256x512 IoU 0.99 -> 0.93), so each mode ships the
+  set trained at its own input scale — conv parameter trees are
+  resolution-independent, the pipelines just load different msgpacks;
 * weights are cached in ``.bench_weights/`` as msgpack and reused across
   rounds (seeded and deterministic per seed).
 
@@ -42,10 +45,11 @@ TRAIN_HW = (256, 512)  # the reference networks' working resolution
 FULL_HW = (1024, 2048)  # the native full-res pipeline's input
 
 # (hw, n_scenes, batch, steps) per phase; later phases continue the same
-# params/optimizer. The mixed tail interleaves resolutions so neither regime
-# is forgotten.
-FCN_PHASES = [(TRAIN_HW, 64, 8, 900), (FULL_HW, 24, 2, 250), (TRAIN_HW, 64, 8, 150)]
-MONO_PHASES = [(TRAIN_HW, 64, 8, 4000), (FULL_HW, 24, 2, 700), (TRAIN_HW, 64, 8, 500)]
+# params/optimizer.
+FCN_PHASES = [(TRAIN_HW, 64, 8, 900)]
+MONO_PHASES = [(TRAIN_HW, 64, 8, 4000)]
+FCN_FR_PHASES = [(FULL_HW, 24, 2, 800)]
+MONO_FR_PHASES = [(FULL_HW, 24, 2, 800)]
 
 
 def _onehot_labels(labels: np.ndarray) -> np.ndarray:
@@ -72,8 +76,10 @@ def _pools(phases, seed):
 
 
 def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
-              seed=0, log=print):
-    """Supervised FCN-8s training over mixed-resolution phases."""
+              seed=0, init_params=None, log=print):
+    """Supervised FCN-8s training over the given phases (optionally warm-
+    started from ``init_params`` — the full-res set initializes from the
+    256x512 set)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -85,8 +91,13 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
     # at the precision the rw metric needs, and the s2d conv transform's VJP
     # doesn't support mixed bf16/f32 cotangents.
     fcn = FCN8s(num_classes=3, width_mult=width_mult, fc_channels=fc_channels)
-    params = fcn.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 128, 3), jnp.float32))
-    tx = optax.adam(lr)
+    params = init_params or fcn.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 128, 3), jnp.float32)
+    )
+    # cosine decay to ~0: the small-batch full-res fine-tune DIVERGED late
+    # under constant Adam 1e-4 (loss 0.005 at step 500 -> 1.4 at 700)
+    total_steps = sum(s for *_, s in phases)
+    tx = optax.adam(optax.cosine_decay_schedule(lr, max(total_steps, 1)))
     opt_state = tx.init(params)
 
     pools = _pools(phases, seed)
@@ -129,7 +140,7 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
 
 
 def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
-               seed=0, road_weight=4.0, log=print):
+               seed=0, road_weight=4.0, init_params=None, log=print):
     """Supervised monodepth: road-weighted multi-scale L1 on the finest-first
     left-disparity pyramid vs 2x-avg-pooled analytic targets, over
     mixed-resolution phases."""
@@ -141,7 +152,9 @@ def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
 
     mono = Monodepth(encoder=encoder, width_mult=width_mult)
     # init at the smallest vgg-legal shape (the pyramid needs H, W >= 128x2)
-    params = mono.init(jax.random.PRNGKey(seed + 1), jnp.zeros((2, 128, 256, 3), jnp.float32))
+    params = init_params or mono.init(
+        jax.random.PRNGKey(seed + 1), jnp.zeros((2, 128, 256, 3), jnp.float32)
+    )
     total_steps = sum(s for *_, s in phases)
     sched = optax.cosine_decay_schedule(lr, total_steps)
     tx = optax.adam(sched)
@@ -205,30 +218,68 @@ def ensure_bench_weights(
     fc_channels=4096,
     fcn_phases=None,
     mono_phases=None,
+    full_res=False,
     force=False,
     log=print,
 ):
-    """Return (fcn_msgpack, mono_msgpack) paths, training + caching if absent."""
+    """Return (fcn_msgpack, mono_msgpack) paths, training + caching if absent.
+
+    full_res=False -> the 256x512 headline set (fcn8s/monodepth.msgpack);
+    full_res=True  -> the native-1024x2048 set (*_fullres.msgpack),
+    fine-tuned from the headline set (which is ensured first)."""
     from semantic_depth_tpu.models import weights as weights_lib
 
     os.makedirs(out_dir, exist_ok=True)
-    fcn_path = os.path.join(out_dir, "fcn8s.msgpack")
-    mono_path = os.path.join(out_dir, "monodepth.msgpack")
+    suffix = "_fullres" if full_res else ""
+    fcn_path = os.path.join(out_dir, f"fcn8s{suffix}.msgpack")
+    mono_path = os.path.join(out_dir, f"monodepth{suffix}.msgpack")
     if not force and os.path.exists(fcn_path) and os.path.exists(mono_path):
         return fcn_path, mono_path
 
+    def load(path, which):
+        import jax
+        import jax.numpy as jnp
+
+        if which == "fcn":
+            from semantic_depth_tpu.models import FCN8s
+
+            m = FCN8s(num_classes=3, width_mult=width_mult, fc_channels=fc_channels)
+            t = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.float32))
+        else:
+            from semantic_depth_tpu.models import Monodepth
+
+            m = Monodepth(encoder="vgg", width_mult=width_mult)
+            t = m.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3), jnp.float32))
+        return weights_lib.load_params(t, path)
+
+    fcn_init = mono_init = None
+    if full_res:
+        base_fcn, base_mono = ensure_bench_weights(
+            out_dir, seed=seed, width_mult=width_mult, fc_channels=fc_channels,
+            fcn_phases=fcn_phases if not full_res else None,
+            mono_phases=mono_phases if not full_res else None, log=log,
+        )
+        fcn_init = load(base_fcn, "fcn")
+        mono_init = load(base_mono, "mono")
+        fcn_ph = fcn_phases or FCN_FR_PHASES
+        mono_ph = mono_phases or MONO_FR_PHASES
+    else:
+        fcn_ph = fcn_phases or FCN_PHASES
+        mono_ph = mono_phases or MONO_PHASES
+
     if force or not os.path.exists(fcn_path):
-        log("training FCN-8s ...")
+        log(f"training FCN-8s{suffix} ...")
         fcn_params = train_fcn(
-            fcn_phases or FCN_PHASES, width_mult=width_mult,
-            fc_channels=fc_channels, seed=seed, log=log,
+            fcn_ph, width_mult=width_mult, fc_channels=fc_channels, seed=seed,
+            init_params=fcn_init, lr=(5e-5 if full_res else 1e-4), log=log,
         )
         weights_lib.save_params(fcn_params, fcn_path)
         log(f"saved {fcn_path}")
     if force or not os.path.exists(mono_path):
-        log("training monodepth ...")
+        log(f"training monodepth{suffix} ...")
         mono_params = train_mono(
-            mono_phases or MONO_PHASES, width_mult=width_mult, seed=seed, log=log,
+            mono_ph, width_mult=width_mult, seed=seed, init_params=mono_init,
+            lr=(5e-5 if full_res else 1e-4), log=log,
         )
         weights_lib.save_params(mono_params, mono_path)
         log(f"saved {mono_path}")
@@ -245,24 +296,17 @@ def main():
     p.add_argument("--out_dir", default=".bench_weights")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--force", action="store_true")
-    p.add_argument("--which", choices=["both", "fcn", "mono"], default="both")
+    p.add_argument("--full_res", action="store_true",
+                   help="also train the native-1024x2048 weight set")
     args = p.parse_args()
-    fcn_phases, mono_phases = FCN_PHASES, MONO_PHASES
-    if args.which == "fcn":
-        mono_phases = []  # untouched if cached
-    if args.which == "mono":
-        fcn_phases = []
 
     def logf(*a):
         print(*a, flush=True)
 
-    if args.which in ("both", "fcn"):
-        if args.force and os.path.exists(os.path.join(args.out_dir, "fcn8s.msgpack")):
-            os.remove(os.path.join(args.out_dir, "fcn8s.msgpack"))
-    if args.which in ("both", "mono"):
-        if args.force and os.path.exists(os.path.join(args.out_dir, "monodepth.msgpack")):
-            os.remove(os.path.join(args.out_dir, "monodepth.msgpack"))
-    ensure_bench_weights(args.out_dir, seed=args.seed, log=logf)
+    ensure_bench_weights(args.out_dir, seed=args.seed, force=args.force, log=logf)
+    if args.full_res:
+        ensure_bench_weights(args.out_dir, seed=args.seed, full_res=True,
+                             force=args.force, log=logf)
 
 
 if __name__ == "__main__":
