@@ -86,6 +86,48 @@ def masked_max(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(valid, values, -jnp.inf))
 
 
+def indicator_cumsum(ind: jnp.ndarray) -> jnp.ndarray:
+    """Exact inclusive cumsum over the LAST axis of a 0/1 indicator array,
+    returned as int32.
+
+    On TPU this is two triangular-ones matmuls instead of XLA's cumsum
+    lowering: XLA scans via O(log N) reduce-window passes that each re-read
+    the array from HBM (measured 7.5 ms for a (4, 2M) int32 cumsum on v5e),
+    while a block-local prefix is ONE (N/512, 512) x (512, 512) f32 matmul
+    on the MXU — a single HBM read plus negligible FLOPs — followed by a
+    tiny cross-block scan. Exactness: within-block partial sums are <= 512
+    (integers exact in f32); block offsets are added in int32.
+
+    On non-TPU backends this defers to jnp.cumsum (faster on CPU).
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.cumsum(ind.astype(jnp.int32), axis=-1)
+    return _indicator_cumsum_matmul(ind)
+
+
+def _indicator_cumsum_matmul(ind: jnp.ndarray) -> jnp.ndarray:
+    blk = 512
+    n = ind.shape[-1]
+    pad = (-n) % blk
+    x = ind.astype(jnp.float32)
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), jnp.float32)], axis=-1
+        )
+    lead = x.shape[:-1]
+    nb = x.shape[-1] // blk
+    xb = x.reshape(lead + (nb, blk))
+    tri = jnp.triu(jnp.ones((blk, blk), jnp.float32))  # within[i] = sum_{j<=i}
+    within = jax.lax.dot_general(
+        xb, tri, (((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    block_tot = within[..., -1]
+    offs = jnp.cumsum(block_tot, axis=-1) - block_tot  # exclusive, (lead, nb)
+    out = (within + offs[..., None]).reshape(lead + (nb * blk,))
+    return out[..., :n]
+
+
 def _f32_to_ordered_u32(x: jnp.ndarray) -> jnp.ndarray:
     """Monotonic f32 -> uint32 mapping (IEEE-754 total order trick): the
     integer order of the result equals the float order of the input."""
@@ -128,7 +170,14 @@ def _masked_median_radix(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray
     """Exact NumPy-median semantics in 34 masked passes (was 64): one 32-step
     radix search finds the lower order statistic k1 = (n-1)//2; the upper
     statistic k2 = n//2 is recovered with one duplicate count plus one masked
-    min (the next larger valid value) instead of a second 32-step search."""
+    min (the next larger valid value) instead of a second 32-step search.
+
+    (A multi-way variant counting 2^W thresholds per pass — 6-8 reads
+    instead of 32 — measured SLOWER on v5e at every W in 2..6 (8.2-9.0 vs
+    6.8 ms at (4, 2M)): XLA materializes the broadcast compare instead of
+    fusing it into the reduction, so the extra compute dwarfs the saved
+    reads. Full-grid MAD filters use the VMEM-resident Pallas kernel
+    instead; this path is the fallback.)"""
     n = jnp.sum(valid.astype(jnp.int32))
     u = _f32_to_ordered_u32(values)
     k1 = jnp.maximum((n - 1) // 2, 0)
@@ -441,7 +490,7 @@ def select_slab_priority(
     n_out = jnp.sum(out.astype(jnp.int32))
     room = jnp.maximum(capacity - n_in, 1)
     stride_out = jnp.maximum((n_out + room - 1) // room, 1)
-    out_idx = jnp.cumsum(out.astype(jnp.int32)) - 1
+    out_idx = indicator_cumsum(out) - 1
     sel = in_slab | (out & (out_idx % stride_out == 0))
     return cloud.with_mask(sel), stride_out
 
@@ -462,13 +511,69 @@ def compact_slab_aware(
     radius`` threshold (semantic_depth.py:238) keeps its 256x512-density
     physical meaning under any compaction/resolution (px_scale = pixel-count
     ratio vs the reference grid)."""
-    sel, stride_out = select_slab_priority(cloud, capacity, axis, lo, hi)
-    resid = compact_stride(sel, capacity).astype(jnp.float32)
-    packed = compact(sel, capacity)
-    x = packed.xyz[:, axis]
-    in_slab = packed.valid & (x > lo) & (x < hi)
-    w = jnp.where(in_slab, 1.0, stride_out.astype(jnp.float32)) * resid / px_scale
+    # Fused implementation: row-for-row identical to the composition
+    #   sel, s = select_slab_priority(...); r = compact_stride(sel, cap);
+    #   packed = compact(sel, cap)
+    # (tests/test_pcl.py pins the equivalence) but with ONE stacked
+    # indicator cumsum instead of two full-length scans, and the packing
+    # done by _ranked_rows gathers instead of a full-length row scatter —
+    # together 52 -> ~13 ms per (4, 2M) batch on v5e.
+    n_rows = cloud.capacity
+    x = cloud.xyz[:, axis]
+    in_slab = cloud.valid & (x > lo) & (x < hi)
+    out = cloud.valid & ~in_slab
+    csum = indicator_cumsum(jnp.stack([in_slab, out]))
+    csum_in, csum_out = csum[0], csum[1]
+    n_in, n_out = csum_in[-1], csum_out[-1]
+    room = jnp.maximum(capacity - n_in, 1)
+    stride_out = jnp.maximum((n_out + room - 1) // room, 1)
+    # kept out-of-slab rows: every stride_out-th by out-rank; their running
+    # count at any row is ceil(csum_out / stride_out)
+    kept_out_cnt = (csum_out + stride_out - 1) // stride_out
+    n_sel = n_in + kept_out_cnt[-1]
+    resid_i = jnp.maximum((n_sel + capacity - 1) // capacity, 1)
+    # sel-rank cumsum (inclusive): csum_sel[r] = # sel rows <= r. Output slot
+    # j holds the sel row of rank j*resid_i -> first row with csum_sel
+    # reaching j*resid_i + 1.
+    csum_sel = csum_in + kept_out_cnt
+    targets = jnp.arange(capacity, dtype=jnp.int32) * resid_i + 1
+    src = _ranked_rows(csum_sel, targets)
+    kept_n = (n_sel + resid_i - 1) // resid_i
+    packed = MaskedCloud(
+        xyz=cloud.xyz[src], rgb=cloud.rgb[src],
+        valid=jnp.arange(capacity) < kept_n,
+    )
+    xp = packed.xyz[:, axis]
+    in_slab_p = packed.valid & (xp > lo) & (xp < hi)
+    resid = resid_i.astype(jnp.float32)
+    w = jnp.where(in_slab_p, 1.0, stride_out.astype(jnp.float32)) * resid / px_scale
     return packed, jnp.where(packed.valid, w, 0.0)
+
+
+def _ranked_rows(csum: jnp.ndarray, targets: jnp.ndarray, blk: int = 512) -> jnp.ndarray:
+    """src[j] = smallest row r with csum[r] >= targets[j], for a
+    NONDECREASING int32 ``csum`` (an indicator cumsum) — i.e. the row of the
+    targets[j]-th kept point. Rows for targets beyond csum[-1] are clamped
+    in-bounds (callers mask them invalid).
+
+    This replaces the row-number scatter previously used by ``compact``:
+    scattering 2M dropped-update rows into 16K slots cost 39 ms/batch-4 on
+    v5e (XLA walks every update), while this two-level search — block ends
+    -> block id by compare-sum, one (CAP, blk) row gather, in-block position
+    by compare-sum — is pure gathers + small reductions (~1 ms)."""
+    n = csum.shape[0]
+    pad = (-n) % blk
+    if pad:
+        csum = jnp.concatenate([csum, jnp.broadcast_to(csum[-1:], (pad,))])
+    nb = csum.shape[0] // blk
+    blocks = csum.reshape(nb, blk)
+    ends = blocks[:, -1]  # (nb,) cumulative count at each block end
+    b = jnp.sum((ends[None, :] < targets[:, None]).astype(jnp.int32), axis=1)
+    b = jnp.minimum(b, nb - 1)  # first block whose end >= target
+    rows = blocks[b]  # (CAP, blk)
+    pos = jnp.sum((rows < targets[:, None]).astype(jnp.int32), axis=1)
+    pos = jnp.minimum(pos, blk - 1)
+    return jnp.minimum(b * blk + pos, n - 1)
 
 
 def compact_stride(cloud: MaskedCloud, capacity: int) -> jnp.ndarray:
@@ -483,33 +588,25 @@ def compact_stride(cloud: MaskedCloud, capacity: int) -> jnp.ndarray:
 def compact(cloud: MaskedCloud, capacity: int) -> MaskedCloud:
     """Pack valid points into the first ``capacity`` slots, preserving order.
 
-    The index plumbing is one 4-byte scatter of ROW NUMBERS into the
-    ``capacity`` destination slots (destinations are provably unique — kept
-    ranks for kept rows, capacity+row for everything else, the latter
-    dropped as out-of-range — so XLA takes its fast unique-indices path)
-    followed by payload gathers. Scattering the 24-byte xyz+rgb payloads
-    directly cost 12.6 ms/batch-8 at N=131072; a searchsorted formulation
-    cost 21 ms (binary-search while-loop); this runs in a few ms.
+    The index plumbing is an indicator cumsum (MXU matmul form) followed by
+    ``_ranked_rows`` — output slot j gathers the row of the j*stride-th
+    valid point — and payload gathers. Earlier formulations, all slower on
+    v5e: scattering the 24-byte xyz+rgb payloads (12.6 ms/batch-8 at
+    N=131072), a jnp.searchsorted binary-search while-loop (21 ms), and a
+    4-byte unique-index row scatter (fast at 131k rows but 39 ms/batch-4 at
+    2M rows — XLA walks every dropped update).
 
     When more than ``capacity`` points are valid, every ``stride``-th valid
     point is kept (stride = ceil(n / capacity)) — an even spatial subsample,
     NOT a truncation (the old first-capacity behavior kept only the top
     image rows, i.e. the farthest road). ``compact_stride`` exposes the
     stride so count-based callers can compensate."""
-    n_rows = cloud.capacity
     v = cloud.valid
-    csum = jnp.cumsum(v.astype(jnp.int32))  # inclusive; csum[-1] = n
+    csum = indicator_cumsum(v)  # inclusive; csum[-1] = n
     n = csum[-1]
     stride = jnp.maximum((n + capacity - 1) // capacity, 1)
     kept = (n + stride - 1) // stride
-    idx = csum - 1  # rank among valid points (meaningful on valid rows)
-    keep = v & (idx % stride == 0)
-    rows = jnp.arange(n_rows, dtype=jnp.int32)
-    dst = jnp.where(keep, idx // stride, capacity + rows)  # unique everywhere
-    src = (
-        jnp.zeros((capacity,), jnp.int32)
-        .at[dst]
-        .set(rows, mode="drop", unique_indices=True)
-    )
+    targets = jnp.arange(capacity, dtype=jnp.int32) * stride + 1
+    src = _ranked_rows(csum, targets)
     valid = jnp.arange(capacity) < kept
     return MaskedCloud(xyz=cloud.xyz[src], rgb=cloud.rgb[src], valid=valid)

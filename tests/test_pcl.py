@@ -356,3 +356,62 @@ def test_compact_slab_aware_weight_conservation():
     # px_scale divides everything
     _, w_scaled = pcl.compact_slab_aware(cloud, 512, 2, lo, hi, px_scale=4.0)
     np.testing.assert_allclose(np.asarray(w_scaled), np.asarray(w) / 4.0, rtol=1e-6)
+
+
+def test_indicator_cumsum_matmul_exact():
+    """The TPU matmul-based indicator cumsum must equal np.cumsum exactly for
+    0/1 inputs across shapes that hit the block padding and multi-batch
+    paths (CPU exercises the matmul variant directly)."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pcl import _indicator_cumsum_matmul
+
+    rng = np.random.default_rng(3)
+    for shape in [(7,), (512,), (513,), (4096,), (2, 3, 1000), (4, 131072)]:
+        ind = rng.random(shape) < 0.3
+        got = np.asarray(_indicator_cumsum_matmul(jnp.asarray(ind)))
+        ref = np.cumsum(ind.astype(np.int64), axis=-1)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_compact_slab_aware_matches_composition():
+    """The fused single-cumsum compact_slab_aware must be row-for-row identical
+    to the three-step composition it replaced (select_slab_priority ->
+    compact_stride -> compact), across fits/overflow/slab-overflow regimes."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    lo, hi = -10.1, -9.9
+
+    def composition(cloud, capacity, axis):
+        sel, stride_out = pcl.select_slab_priority(cloud, capacity, axis, lo, hi)
+        resid = pcl.compact_stride(sel, capacity).astype(jnp.float32)
+        packed = pcl.compact(sel, capacity)
+        x = packed.xyz[:, axis]
+        in_slab = packed.valid & (x > lo) & (x < hi)
+        w = jnp.where(in_slab, 1.0, stride_out.astype(jnp.float32)) * resid / 2.0
+        return packed, jnp.where(packed.valid, w, 0.0)
+
+    for n_slab, n_out, cap in [(0, 100, 512), (100, 300, 512), (100, 2000, 512),
+                               (1500, 500, 512), (700, 9000, 1024), (0, 0, 64)]:
+        n = max(n_slab + n_out, 1)
+        z_slab = rng.uniform(-10.05, -9.95, n_slab)
+        z_out = rng.uniform(-14.0, -7.0, n - n_slab)
+        z_out = np.where((z_out > lo) & (z_out < hi), -6.0, z_out)
+        z = np.concatenate([z_slab, z_out])
+        perm = rng.permutation(n)
+        xyz = np.stack([rng.normal(size=n), rng.normal(size=n), z[perm]], 1)
+        valid = rng.random(n) < 0.9
+        cloud = pcl.MaskedCloud(
+            xyz=jnp.asarray(xyz, jnp.float32),
+            rgb=jnp.asarray(rng.random((n, 3)), jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+        ref_p, ref_w = composition(cloud, cap, 2)
+        got_p, got_w = pcl.compact_slab_aware(cloud, cap, 2, lo, hi, px_scale=2.0)
+        np.testing.assert_array_equal(np.asarray(got_p.valid), np.asarray(ref_p.valid))
+        m = np.asarray(ref_p.valid)
+        np.testing.assert_array_equal(np.asarray(got_p.xyz)[m], np.asarray(ref_p.xyz)[m])
+        np.testing.assert_array_equal(np.asarray(got_p.rgb)[m], np.asarray(ref_p.rgb)[m])
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), rtol=1e-6)
