@@ -163,10 +163,11 @@ def _accuracy(pipe, batches, rw_true):
     return finite_frac, mae
 
 
-def _load_bench_weights(fcn, mono, h, w, log, full_res=False):
+def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False):
     """Trained scene weights (train-on-first-run, cached); random fallback.
     full_res=True loads the set fine-tuned at native 1024x2048 (a 256x512
-    net collapses on full-res inputs — see tools/train_bench_weights.py)."""
+    net collapses on full-res inputs); native=True loads the input_s2d
+    variant's set — see tools/train_bench_weights.py."""
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +179,7 @@ def _load_bench_weights(fcn, mono, h, w, log, full_res=False):
         from tools.train_bench_weights import ensure_bench_weights
 
         fcn_path, mono_path = ensure_bench_weights(
-            BENCH_WEIGHTS_DIR, full_res=full_res, log=log
+            BENCH_WEIGHTS_DIR, full_res=full_res, native=native, log=log
         )
         return (
             weights_lib.load_params(fcn_t, fcn_path),
@@ -251,31 +252,54 @@ def main():
     # the batch-8 pool.
     del batches
     del pipe
+    cfg_fr = munich_pipeline_config(
+        compute_dtype="bfloat16", input_height=1024, input_width=2048
+    )
+
+    def full_res_leg(fcn_fr, mono_fr, *, native, fr_batch, n_frames, trials):
+        """One full-res measurement: build the pipe, time, score accuracy."""
+        fcn_p, mono_p, _ = _load_bench_weights(
+            fcn_fr, mono_fr, h, w, log,
+            full_res=(weight_mode == "trained"), native=native,
+        )
+        pipe_fr = SemanticDepthPipeline(cfg_fr, fcn_p, mono_p, fcn=fcn_fr, mono=mono_fr)
+        fr_batches = [
+            jax.device_put(jnp.asarray(pool[i * fr_batch : (i + 1) * fr_batch]))
+            for i in range(min(4, max(1, n_pool // fr_batch)))
+        ]
+        _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
+        fps, _, _ = _run_trials(pipe_fr, fr_batches, max(1, n_frames // fr_batch), trials)
+        fin, mae = _accuracy(pipe_fr, fr_batches, rw_true)
+        return fps, fin, mae
+
+    # The NATIVE path: input_s2d trunks (bijective 2x2 pixel packing, learned
+    # depth_to_space heads — models/fcn8s.py + models/monodepth.py docs).
+    # Dense evaluation at 1024x2048 is roofline-capped below the 30 fps bar
+    # (DESIGN.md); this is the architecture the full-res mode ships.
     full_res_fps = None
     fr_finite = fr_mae = None
     try:
-        cfg_fr = munich_pipeline_config(
-            compute_dtype="bfloat16", input_height=1024, input_width=2048
+        fcn_n = FCN8s(num_classes=cfg.segmenter.num_classes,
+                      compute_dtype=jnp.bfloat16, input_s2d=True)
+        mono_n = Monodepth(encoder=cfg.monodepth.encoder,
+                           compute_dtype=jnp.bfloat16, input_s2d=True)
+        full_res_fps, fr_finite, fr_mae = full_res_leg(
+            fcn_n, mono_n, native=True,
+            fr_batch=FULL_RES_BATCH, n_frames=FULL_RES_FRAMES, trials=2,
         )
-        # parameter TREES are resolution-independent, but the full-res mode
-        # loads the set fine-tuned at its native input scale
-        # template init at 256x512 (param trees are input-shape independent)
-        fcn_params_fr, mono_params_fr, _ = _load_bench_weights(
-            fcn, mono, h, w, log, full_res=(weight_mode == "trained")
-        )
-        pipe_fr = SemanticDepthPipeline(
-            cfg_fr, fcn_params_fr, mono_params_fr, fcn=fcn, mono=mono
-        )
-        fr_batches = [
-            jax.device_put(jnp.asarray(pool[i * FULL_RES_BATCH : (i + 1) * FULL_RES_BATCH]))
-            for i in range(min(4, max(1, n_pool // FULL_RES_BATCH)))
-        ]
-        _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
-        n_fr = max(1, FULL_RES_FRAMES // FULL_RES_BATCH)
-        full_res_fps, _, _ = _run_trials(pipe_fr, fr_batches, n_fr, 2)
-        fr_finite, fr_mae = _accuracy(pipe_fr, fr_batches, rw_true)
     except Exception as e:  # full-res is a capability line, not the headline
-        log(f"full-res bench skipped: {type(e).__name__}: {e}")
+        log(f"native full-res bench skipped: {type(e).__name__}: {e}")
+
+    # The DENSE path (unmodified reference architecture at 1024x2048),
+    # reported for transparency next to the native number.
+    full_res_dense_fps = None
+    try:
+        full_res_dense_fps, _, _ = full_res_leg(
+            fcn, mono, native=False,
+            fr_batch=FULL_RES_BATCH, n_frames=FULL_RES_BATCH, trials=1,
+        )
+    except Exception as e:
+        log(f"dense full-res bench skipped: {type(e).__name__}: {e}")
 
     out = {
         "metric": "end-to-end fps/chip, 1024x2048 frame -> road-width scalar",
@@ -308,6 +332,8 @@ def main():
             out["full_res_finite_frac"] = round(fr_finite, 4)
         if fr_mae is not None:
             out["full_res_rw_mae_m"] = round(fr_mae, 4)
+    if full_res_dense_fps is not None:
+        out["full_res_dense_fps"] = round(full_res_dense_fps, 3)
     print(json.dumps(out))
 
 

@@ -32,27 +32,6 @@ from flax import linen as nn
 _VGG_BLOCKS: Sequence[tuple] = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
 
-class _ConvParams(nn.Module):
-    """Parameter container mirroring nn.Conv's tree (kernel/bias, same names,
-    shapes, initializers) WITHOUT binding a spatial evaluation — the Pallas
-    fast path applies these kernels through ops/pallas_conv while staying
-    checkpoint-compatible with the plain path."""
-
-    features: int
-    ksize: int
-    in_ch: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.ksize, self.ksize, self.in_ch, self.features),
-        )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        return k, b
-
-
 class FCN8s(nn.Module):
     """FCN-8s with VGG16 encoder.
 
@@ -66,42 +45,34 @@ class FCN8s(nn.Module):
     # Test-scale knobs; defaults match the reference network exactly.
     width_mult: float = 1.0
     fc_channels: int = 4096
-    # Route the narrow encoder blocks 1-2 (except the 3->64 stem, which XLA
-    # handles well) through the Pallas direct conv (ops/pallas_conv) — XLA's
-    # conv for 64/128-channel layers sustains only ~23 TF/s on v5e (the
-    # contraction depth is C, half the MXU idle); the Pallas kernel's
-    # im2col-per-kernel-row form contracts over 3C. Identical parameter tree
-    # (checkpoints drop in unchanged); same math to f32 accumulation order.
-    # Off by default: enable on TPU (the interpreter path is slow on CPU).
-    pallas_blocks: bool = False
+    # Native full-resolution variant: 2x2 space-to-depth-pack the input
+    # (bijective — every pixel enters the network, no interpolation) so the
+    # whole trunk runs on the half-res grid with 12 input channels, and
+    # restore input resolution by giving the final stride-8 deconv 4x the
+    # class channels + depth_to_space (a learned per-phase decoder). Why:
+    # dense evaluation at 1024x2048 is roofline-capped below the 30 fps bar
+    # on one v5e (see DESIGN.md); the packed trunk costs 4x less while
+    # consuming every pixel natively. Same FCN-8s topology otherwise; ships
+    # its own trained weight set (conv1_1 and upscore8 shapes differ).
+    input_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dtype = self.compute_dtype
         x = x.astype(dtype)
+        if self.input_s2d:
+            from ..ops import s2d as s2d_ops
+
+            x = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
 
         skips = {}
         for bi, (n_convs, ch) in enumerate(_VGG_BLOCKS, start=1):
             ch = max(1, int(ch * self.width_mult))
             for ci in range(1, n_convs + 1):
-                name = f"conv{bi}_{ci}"
-                use_pallas = (
-                    self.pallas_blocks
-                    and bi <= 2
-                    and not (bi == 1 and ci == 1)
-                    and x.shape[1] % 8 == 0
-                )
-                if use_pallas:
-                    from ..ops.pallas_conv import conv3x3_same
-
-                    k, b = _ConvParams(ch, 3, x.shape[-1], name=name)()
-                    tile_h = 8 if x.shape[-1] <= 64 else 4
-                    x = conv3x3_same(x, k, b, relu=True, tile_h=tile_h)
-                else:
-                    x = nn.Conv(
-                        ch, (3, 3), padding="SAME", dtype=dtype, name=name
-                    )(x)
-                    x = nn.relu(x)
+                x = nn.Conv(
+                    ch, (3, 3), padding="SAME", dtype=dtype, name=f"conv{bi}_{ci}"
+                )(x)
+                x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             if bi == 3:
                 skips["pool3"] = x  # layer3_out, H/8
@@ -144,10 +115,19 @@ class FCN8s(nn.Module):
             transpose_kernel=True, name="upscore4",
         )(fuse4)
         fuse3 = up4 + score3
+        # input_s2d: upscore8 emits the 4 pixel phases as channel groups and
+        # depth_to_space restores the ORIGINAL input resolution — the phase
+        # split is learned by the same deconv that already learns the x8
+        # interpolation.
+        out_ch = nc * 4 if self.input_s2d else nc
         up8 = nn.ConvTranspose(
-            nc, (16, 16), strides=(8, 8), padding="SAME", dtype=dtype, kernel_init=init,
-            transpose_kernel=True, name="upscore8",
+            out_ch, (16, 16), strides=(8, 8), padding="SAME", dtype=dtype,
+            kernel_init=init, transpose_kernel=True, name="upscore8",
         )(fuse3)
+        if self.input_s2d:
+            from ..ops import s2d as s2d_ops
+
+            up8 = s2d_ops.depth_to_space(up8)
         return up8.astype(jnp.float32)
 
 

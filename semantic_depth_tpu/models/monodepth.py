@@ -92,6 +92,16 @@ class Monodepth(nn.Module):
     # and H, W divisible by 8 (vgg) / 4 (resnet50); silently falls back to
     # the plain path otherwise.
     s2d_opt: bool = True
+    # Native full-resolution variant: 2x2 space-to-depth-pack the input
+    # (bijective, no interpolation) so the published trunk runs on the
+    # half-res grid with 12 input channels, then an extra finest decoder
+    # level ("level 0": upconv0/iconv0/disp0, 8 feature channels) restores
+    # disparity at the ORIGINAL input resolution. Dense evaluation at
+    # 1024x2048 is roofline-capped below the 30 fps bar on one v5e (see
+    # DESIGN.md); the packed trunk costs ~4x less while consuming every
+    # pixel natively. Ships its own trained weight set (enc1a and the
+    # level-0 params differ from the reference tree).
+    input_s2d: bool = False
 
     def _ch(self, ch: int) -> int:
         return max(1, int(ch * self.width_mult))
@@ -163,6 +173,8 @@ class Monodepth(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
         x = images.astype(self.compute_dtype)
+        if self.input_s2d:
+            x = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
         # The vgg s2d path keeps enc2b's stride-2 output phase-packed on the
         # H/8 grid, so it needs H, W % 8 == 0 (a % 4 input like H=100 would
         # change shapes instead of falling back); resnet50 only uses the
@@ -172,8 +184,8 @@ class Monodepth(nn.Module):
             self.s2d_opt
             and self.encoder in ("vgg", "resnet50")
             and not self.use_deconv
-            and images.shape[1] % s2d_div == 0
-            and images.shape[2] % s2d_div == 0
+            and x.shape[1] % s2d_div == 0
+            and x.shape[2] % s2d_div == 0
         )
 
         if use_s2d:
@@ -225,6 +237,15 @@ class Monodepth(nn.Module):
                 disps.append(disp)
                 if level > 1:
                     udisp = _upsample_nn(disp, 2)
+        if self.input_s2d:
+            # Level 0: one more decoder step from the packed grid back to the
+            # ORIGINAL input resolution (input_s2d field doc above).
+            x = self._upconv(x, 8, "upconv0")
+            cat0 = jnp.concatenate(
+                [x, _upsample_nn(disps[-1], 2).astype(x.dtype)], axis=3
+            )
+            x = self._conv(cat0, 8, 3, 1, "iconv0")
+            disps.append(self._get_disp(x, 0))
         disps.reverse()  # finest (full res) first
         return disps
 
@@ -243,12 +264,13 @@ class Monodepth(nn.Module):
             # (measured 23 vs 102 TF/s); stride-2 layers keep their outputs
             # PHASE-PACKED (s2d_conv stride=2) so lanes stay full end to end.
             ch64 = self._ch(64)
-            ka, ba = _ConvP(ch32, 7, 3, name="enc1a")()
+            in_ch = x.shape[3]  # 3, or 12 when input_s2d pre-packed
+            ka, ba = _ConvP(ch32, 7, in_ch, name="enc1a")()
             kb, bb = _ConvP(ch32, 7, ch32, name="enc1b")()
             k2a, b2a = _ConvP(ch64, 5, ch32, name="enc2a")()
             k2b, b2b = _ConvP(ch64, 5, ch64, name="enc2b")()
-            xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 12)
-            h1 = nn.elu(s2d_ops.s2d_conv([(xs, 3)], ka, ba, 7))  # conv1a phases
+            xs = s2d_ops.space_to_depth(x)  # (B, H/2, W/2, 4*in_ch)
+            h1 = nn.elu(s2d_ops.s2d_conv([(xs, in_ch)], ka, ba, 7))  # conv1a phases
             c1s = nn.elu(
                 s2d_ops.s2d_conv([(h1, ch32)], kb, bb, 7, stride=2)
             )  # (B, H/4, W/4, 4*ch32) == s2d(conv1 @ H/2)
@@ -272,10 +294,11 @@ class Monodepth(nn.Module):
             n_ups = 7
         else:  # resnet50: 7x7-s2 stem as one coarse conv on the s2d grid
             ch64 = self._ch(64)
-            k1, b1 = _ConvP(ch64, 7, 3, name="enc1")()
+            in_ch = x.shape[3]  # 3, or 12 when input_s2d pre-packed
+            k1, b1 = _ConvP(ch64, 7, in_ch, name="enc1")()
             xs = s2d_ops.space_to_depth(x)
             conv1 = nn.elu(
-                s2d_ops.s2d_conv([(xs, 3)], k1, b1, 7, phase_out=False)
+                s2d_ops.s2d_conv([(xs, in_ch)], k1, b1, 7, phase_out=False)
             )  # (B, H/2, W/2, ch64) == plain enc1
             pool1 = self._maxpool(conv1)
             conv2 = self._resblock(pool1, 64, 3, "res2")
@@ -335,6 +358,20 @@ class Monodepth(nn.Module):
         kd1, bd1 = _ConvP(2, 3, ch16, name="disp1")()
         d1 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x1, ch16)], kd1, bd1, 3))
         disps.append(s2d_ops.depth_to_space(d1).astype(jnp.float32))  # (H, 2)
+
+        if self.input_s2d:
+            # Level 0 on the s2d grid (fine = the ORIGINAL resolution, 2x the
+            # packed input): same params as the plain-path level 0.
+            ch8 = self._ch(8)
+            x1_plain = s2d_ops.depth_to_space(x1)  # (H, ch16)
+            ku0, bu0 = _ConvP(ch8, 3, ch16, name="upconv0")()
+            up0 = nn.elu(s2d_ops.upconv_s2d(x1_plain, ku0, bu0, 3))  # (H, 4*ch8)
+            ud0 = s2d_ops.replicate_phases(disps[-1].astype(dt))  # (H, 8)
+            ki0, bi0 = _ConvP(ch8, 3, ch8 + 2, name="iconv0")()
+            x0 = nn.elu(s2d_ops.s2d_conv([(up0, ch8), (ud0, 2)], ki0, bi0, 3))
+            kd0, bd0 = _ConvP(2, 3, ch8, name="disp0")()
+            d0 = 0.3 * nn.sigmoid(s2d_ops.s2d_conv([(x0, ch8)], kd0, bd0, 3))
+            disps.append(s2d_ops.depth_to_space(d0).astype(jnp.float32))  # (2H, 2)
 
         disps.reverse()
         return disps

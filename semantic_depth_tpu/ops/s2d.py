@@ -35,19 +35,65 @@ import jax
 import jax.numpy as jnp
 
 
+def _one_hot_pack_kernel(c: int, r: int, dtype) -> jnp.ndarray:
+    """(r, r, C, r*r*C) kernel with k[di, dj, ci, (di*r+dj)*C + ci] = 1 —
+    a stride-r conv with it IS phase-major space_to_depth."""
+    k = np.zeros((r, r, c, r * r * c), np.float32)
+    for di in range(r):
+        for dj in range(r):
+            for ci in range(c):
+                k[di, dj, ci, (di * r + dj) * c + ci] = 1.0
+    return jnp.asarray(k, dtype)
+
+
 def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/r, W/r, r*r*C), phase-major channels."""
+    """(B, H, W, C) -> (B, H/r, W/r, r*r*C), phase-major channels.
+
+    On TPU this runs as a stride-r convolution with a one-hot kernel (exact:
+    each output is one product by 1.0): XLA's conv unit extracts strided
+    patches at memory speed, while the naive 6D reshape+transpose lowers to
+    a sub-lane shuffle measured at ~12 GB/s effective on v5e (8.6 ms for a
+    50 MB frame — 30x off memory bound)."""
     b, h, w, c = x.shape
+    if jax.default_backend() == "tpu" and jnp.issubdtype(x.dtype, jnp.floating):
+        return _space_to_depth_conv(x, r)
     x = x.reshape(b, h // r, r, w // r, r, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
 
 
+def _space_to_depth_conv(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, _one_hot_pack_kernel(x.shape[-1], r, x.dtype), (r, r), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
-    """Inverse of space_to_depth (phase-major channels)."""
+    """Inverse of space_to_depth (phase-major channels).
+
+    On TPU this runs as the transposed one-hot convolution (lhs-dilated
+    conv) for the same reason as ``space_to_depth``: the 6D transpose
+    lowering is ~30x off memory bound."""
     b, hc, wc, cc = x.shape
     c = cc // (r * r)
+    if jax.default_backend() == "tpu" and jnp.issubdtype(x.dtype, jnp.floating):
+        return _depth_to_space_conv(x, r)
     x = x.reshape(b, hc, wc, r, r, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hc * r, wc * r, c)
+
+
+def _depth_to_space_conv(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    # out[b, r*i+di, r*j+dj, ci] = x[b, i, j, (di*r+dj)*C + ci]: the
+    # gradient/transpose of the pack conv — lhs-dilate x by r and convolve
+    # with the spatially-flipped pack kernel transposed on the channel axes.
+    c = x.shape[-1] // (r * r)
+    k = _one_hot_pack_kernel(c, r, x.dtype)  # (r, r, C, r2C)
+    kt = k[::-1, ::-1].transpose(0, 1, 3, 2)  # (r, r, r2C, C)
+    return jax.lax.conv_general_dilated(
+        x, kt, (1, 1), [(r - 1, r - 1), (r - 1, r - 1)],
+        lhs_dilation=(r, r),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def _sel_fine(k: int):

@@ -109,3 +109,63 @@ def test_monodepth_s2d_matches_plain(encoder):
     for a, b2 in zip(d_plain, d_fast):
         assert a.shape == b2.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=2e-5, atol=2e-6)
+
+
+def test_fcn8s_input_s2d_restores_input_resolution():
+    """The native full-res variant (input_s2d): 2x2 space-to-depth packed
+    input, trunk on the half-res grid, learned depth_to_space logits — the
+    output must be class logits at the ORIGINAL input resolution."""
+    model = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64, input_s2d=True)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 64, 128, 3)
+    assert logits.dtype == jnp.float32
+    # the packed trunk's first conv consumes the 12 packed channels
+    assert params["params"]["conv1_1"]["kernel"].shape[2] == 12
+    # upscore8 emits 4 phase groups
+    assert params["params"]["upscore8"]["kernel"].shape[-2] == 12  # TF (H,W,O,I): O=4*nc
+
+
+def test_monodepth_input_s2d_pyramid():
+    """input_s2d mono: 5-scale pyramid, finest at the ORIGINAL resolution
+    (the extra level 0), each coarser scale halving as usual."""
+    h, w = 256, 256  # packed trunk sees 128x128 (vgg needs % 128)
+    model = Monodepth(encoder="vgg", width_mult=0.0625, input_s2d=True, s2d_opt=False)
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    disps = model.apply(params, x)
+    assert len(disps) == 5
+    for i, d in enumerate(disps):
+        assert d.shape == (1, h // 2**i, w // 2**i, 2), (i, d.shape)
+    dl = model.apply(params, x, method=model.disp_left)
+    assert dl.shape == (1, h, w)
+
+
+def test_monodepth_input_s2d_s2d_matches_plain():
+    """The s2d_opt fast path of the input_s2d variant is the same exact
+    kernel-rearrangement contract as the standard net: identical parameter
+    tree, outputs equal to the plain path at every scale."""
+    rng = np.random.default_rng(1)
+    h, w = 256, 256
+    x = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    plain = Monodepth(
+        encoder="vgg", compute_dtype=jnp.float32, input_s2d=True, s2d_opt=False,
+        width_mult=0.0625,
+    )
+    fast = Monodepth(
+        encoder="vgg", compute_dtype=jnp.float32, input_s2d=True, s2d_opt=True,
+        width_mult=0.0625,
+    )
+    p1 = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    p2 = fast.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    assert jax.tree_util.tree_map(lambda a: a.shape, p1) == jax.tree_util.tree_map(
+        lambda a: a.shape, p2
+    )
+    d_plain = plain.apply(p1, x)
+    d_fast = fast.apply(p1, x)
+    assert len(d_plain) == len(d_fast) == 5
+    for a, b2 in zip(d_plain, d_fast):
+        assert a.shape == b2.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=2e-5, atol=2e-6)

@@ -30,6 +30,22 @@ def test_space_to_depth_roundtrip():
     np.testing.assert_array_equal(np.asarray(s2d.depth_to_space(s)), np.asarray(x))
 
 
+def test_conv_pack_forms_match_reshape():
+    """The TPU one-hot-conv forms of space_to_depth/depth_to_space (sub-lane
+    transposes lower ~30x off memory bound on v5e — s2d.py docstrings) must
+    equal the reshape forms EXACTLY, including non-square grids and C=1."""
+    rng = np.random.default_rng(3)
+    for shape in [(2, 8, 12, 3), (1, 16, 16, 7), (3, 4, 6, 1), (1, 6, 4, 16)]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        packed = s2d.space_to_depth(x)
+        np.testing.assert_array_equal(
+            np.asarray(s2d._space_to_depth_conv(x)), np.asarray(packed)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s2d._depth_to_space_conv(packed)), np.asarray(x)
+        )
+
+
 @pytest.mark.parametrize("k", [3, 5, 7])
 def test_s2d_conv_phase_out_matches_fine(k):
     rng = np.random.default_rng(k)

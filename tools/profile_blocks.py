@@ -119,34 +119,6 @@ def main():
         conv_stack(64, [(3, 128, 1)], (B, H // 2, W // 2, 64), "  conv2_1 alone (64->128)")
         conv_stack(128, [(3, 128, 1)], (B, H // 2, W // 2, 128), "  conv2_2 alone (128->128)")
 
-    if args.net in ("fcn", "both"):
-        # Pallas direct conv vs XLA on the narrow-block shapes
-        from semantic_depth_tpu.ops.pallas_conv import conv3x3_same
-
-        print("--- pallas conv3x3 vs XLA (same shapes) ---", flush=True)
-        for (hh, ww, cc, nn_, tile) in [
-            (H, W, 64, 64, 8),          # conv1_2
-            (H // 2, W // 2, 64, 128, 8),   # conv2_1
-            (H // 2, W // 2, 128, 128, 4),  # conv2_2
-            (H // 4, W // 4, 128, 256, 4),  # conv3_1
-        ]:
-            x = jnp.asarray(rng.normal(size=(B, hh, ww, cc)), jnp.bfloat16)
-            kern = jnp.asarray(rng.normal(size=(3, 3, cc, nn_)), jnp.float32)
-            bias = jnp.asarray(rng.normal(size=(nn_,)), jnp.float32)
-            flops = 2 * 9 * cc * nn_ * hh * ww * B
-
-            def pop(xx, kk, bb, carry):
-                out = conv3x3_same(xx + carry.astype(xx.dtype) * 0, kk, bb,
-                                   tile_h=tile)
-                return jnp.sum(out.astype(jnp.float32)) * 1e-9
-
-            try:
-                timed(f"pallas conv {cc}->{nn_} @{hh}x{ww} t{tile}",
-                      chain(pop, K), x, kern, bias, per=K, flops=flops)
-            except Exception as e:
-                print(f"pallas conv {cc}->{nn_} @{hh}x{ww}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
-
     if args.net in ("mono", "both"):
         print("--- monodepth (vgg, s2d path) segments ---", flush=True)
         import jax as _jax

@@ -50,6 +50,30 @@ FCN_PHASES = [(TRAIN_HW, 64, 8, 900)]
 MONO_PHASES = [(TRAIN_HW, 64, 8, 4000)]
 FCN_FR_PHASES = [(FULL_HW, 24, 2, 800)]
 MONO_FR_PHASES = [(FULL_HW, 24, 2, 800)]
+# Native variant (input_s2d trunks): the packed trunk costs ~4x less per
+# step, so it affords batch 4 at full res.
+FCN_NATIVE_PHASES = [(FULL_HW, 24, 4, 900)]
+MONO_NATIVE_PHASES = [(FULL_HW, 24, 4, 1200)]
+
+
+def _graft(template, src):
+    """Copy every leaf of ``src`` into ``template`` where the tree path AND
+    shape match; keep the template's (fresh) init elsewhere. Warm-starts the
+    input_s2d variants from the headline set: only conv1_1/enc1a (12-channel
+    input), upscore8 (4x phase outputs) and the new mono level-0 params
+    differ."""
+    import jax
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    out = {
+        p: (flat_s[p] if p in flat_s and flat_s[p].shape == v.shape else v)
+        for p, v in flat_t.items()
+    }
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]]
+    )
 
 
 def _onehot_labels(labels: np.ndarray) -> np.ndarray:
@@ -76,10 +100,11 @@ def _pools(phases, seed):
 
 
 def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
-              seed=0, init_params=None, log=print):
+              seed=0, init_params=None, input_s2d=False, log=print):
     """Supervised FCN-8s training over the given phases (optionally warm-
     started from ``init_params`` — the full-res set initializes from the
-    256x512 set)."""
+    256x512 set; the native input_s2d set grafts every matching-shape
+    leaf)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -90,10 +115,13 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
     # inference (param trees are dtype-independent); f32 keeps the regression
     # at the precision the rw metric needs, and the s2d conv transform's VJP
     # doesn't support mixed bf16/f32 cotangents.
-    fcn = FCN8s(num_classes=3, width_mult=width_mult, fc_channels=fc_channels)
-    params = init_params or fcn.init(
+    fcn = FCN8s(num_classes=3, width_mult=width_mult, fc_channels=fc_channels,
+                input_s2d=input_s2d)
+    params = fcn.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 64, 128, 3), jnp.float32)
     )
+    if init_params is not None:
+        params = _graft(params, init_params) if input_s2d else init_params
     # cosine decay to ~0: the small-batch full-res fine-tune DIVERGED late
     # under constant Adam 1e-4 (loss 0.005 at step 500 -> 1.4 at 700)
     total_steps = sum(s for *_, s in phases)
@@ -140,21 +168,26 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
 
 
 def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
-               seed=0, road_weight=4.0, init_params=None, log=print):
+               seed=0, road_weight=4.0, init_params=None, input_s2d=False,
+               log=print):
     """Supervised monodepth: road-weighted multi-scale L1 on the finest-first
     left-disparity pyramid vs 2x-avg-pooled analytic targets, over
-    mixed-resolution phases."""
+    mixed-resolution phases. The input_s2d variant's 5th (finest) scale
+    slots in transparently — the loss loop pools targets per scale."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from semantic_depth_tpu.models import Monodepth
 
-    mono = Monodepth(encoder=encoder, width_mult=width_mult)
+    mono = Monodepth(encoder=encoder, width_mult=width_mult, input_s2d=input_s2d)
     # init at the smallest vgg-legal shape (the pyramid needs H, W >= 128x2)
-    params = init_params or mono.init(
-        jax.random.PRNGKey(seed + 1), jnp.zeros((2, 128, 256, 3), jnp.float32)
+    init_hw = (256, 512) if input_s2d else (128, 256)
+    params = mono.init(
+        jax.random.PRNGKey(seed + 1), jnp.zeros((2,) + init_hw + (3,), jnp.float32)
     )
+    if init_params is not None:
+        params = _graft(params, init_params) if input_s2d else init_params
     total_steps = sum(s for *_, s in phases)
     sched = optax.cosine_decay_schedule(lr, total_steps)
     tx = optax.adam(sched)
@@ -219,18 +252,26 @@ def ensure_bench_weights(
     fcn_phases=None,
     mono_phases=None,
     full_res=False,
+    native=False,
     force=False,
     log=print,
 ):
     """Return (fcn_msgpack, mono_msgpack) paths, training + caching if absent.
 
     full_res=False -> the 256x512 headline set (fcn8s/monodepth.msgpack);
-    full_res=True  -> the native-1024x2048 set (*_fullres.msgpack),
-    fine-tuned from the headline set (which is ensured first)."""
+    full_res=True  -> the dense-1024x2048 set (*_fullres.msgpack),
+    fine-tuned from the headline set (which is ensured first);
+    native=True    -> the input_s2d native-full-res set (*_native.msgpack),
+    trained at 1024x2048 with every matching-shape leaf grafted from the
+    headline set (models/fcn8s.py + models/monodepth.py input_s2d docs)."""
     from semantic_depth_tpu.models import weights as weights_lib
 
     os.makedirs(out_dir, exist_ok=True)
-    suffix = "_fullres" if full_res else ""
+    if native:
+        full_res = True  # native implies the full-res protocol
+        suffix = "_native"
+    else:
+        suffix = "_fullres" if full_res else ""
     fcn_path = os.path.join(out_dir, f"fcn8s{suffix}.msgpack")
     mono_path = os.path.join(out_dir, f"monodepth{suffix}.msgpack")
     if not force and os.path.exists(fcn_path) and os.path.exists(mono_path):
@@ -261,17 +302,24 @@ def ensure_bench_weights(
         )
         fcn_init = load(base_fcn, "fcn")
         mono_init = load(base_mono, "mono")
-        fcn_ph = fcn_phases or FCN_FR_PHASES
-        mono_ph = mono_phases or MONO_FR_PHASES
+        if native:
+            fcn_ph = fcn_phases or FCN_NATIVE_PHASES
+            mono_ph = mono_phases or MONO_NATIVE_PHASES
+        else:
+            fcn_ph = fcn_phases or FCN_FR_PHASES
+            mono_ph = mono_phases or MONO_FR_PHASES
     else:
         fcn_ph = fcn_phases or FCN_PHASES
         mono_ph = mono_phases or MONO_PHASES
 
+    # grafted warm starts reset parts of the net -> slightly higher lr than
+    # the dense fine-tune, still cosine-decayed
+    lr = 1e-4 if native else (5e-5 if full_res else 1e-4)
     if force or not os.path.exists(fcn_path):
         log(f"training FCN-8s{suffix} ...")
         fcn_params = train_fcn(
             fcn_ph, width_mult=width_mult, fc_channels=fc_channels, seed=seed,
-            init_params=fcn_init, lr=(5e-5 if full_res else 1e-4), log=log,
+            init_params=fcn_init, input_s2d=native, lr=lr, log=log,
         )
         weights_lib.save_params(fcn_params, fcn_path)
         log(f"saved {fcn_path}")
@@ -279,7 +327,7 @@ def ensure_bench_weights(
         log(f"training monodepth{suffix} ...")
         mono_params = train_mono(
             mono_ph, width_mult=width_mult, seed=seed, init_params=mono_init,
-            lr=(5e-5 if full_res else 1e-4), log=log,
+            input_s2d=native, lr=lr, log=log,
         )
         weights_lib.save_params(mono_params, mono_path)
         log(f"saved {mono_path}")
@@ -297,7 +345,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--force", action="store_true")
     p.add_argument("--full_res", action="store_true",
-                   help="also train the native-1024x2048 weight set")
+                   help="also train the dense full-res (1024x2048) weight set")
+    p.add_argument("--native", action="store_true",
+                   help="also train the input_s2d native full-res weight set")
     args = p.parse_args()
 
     def logf(*a):
@@ -306,6 +356,9 @@ def main():
     ensure_bench_weights(args.out_dir, seed=args.seed, force=args.force, log=logf)
     if args.full_res:
         ensure_bench_weights(args.out_dir, seed=args.seed, full_res=True,
+                             force=args.force, log=logf)
+    if args.native:
+        ensure_bench_weights(args.out_dir, seed=args.seed, native=True,
                              force=args.force, log=logf)
 
 
