@@ -281,16 +281,25 @@ def load_mono_params(model: Monodepth, path: str, input_hw: Tuple[int, int]):
 
 
 def build_pipeline(
-    cfg: PipelineConfig, semantic_model: str, monodepth_checkpoint: str, tiny: bool = False
+    cfg: PipelineConfig, semantic_model: str, monodepth_checkpoint: str,
+    tiny: bool = False, native_s2d: bool = False,
 ):
     """tiny=True builds width-scaled networks (random weights only) — a CI /
-    smoke-test mode; production weights require the full architecture."""
+    smoke-test mode; production weights require the full architecture.
+    native_s2d=True builds the input_s2d full-res variants (models/fcn8s.py
+    + models/monodepth.py docs — trained per-resolution sets, e.g.
+    tools/train_bench_weights.py --native)."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if tiny:
-        fcn = FCN8s(num_classes=cfg.segmenter.num_classes, width_mult=0.0625, fc_channels=32)
-        mono = Monodepth(encoder=cfg.monodepth.encoder, width_mult=0.0625)
+        fcn = FCN8s(num_classes=cfg.segmenter.num_classes, width_mult=0.0625,
+                    fc_channels=32, input_s2d=native_s2d, compute_dtype=dtype)
+        mono = Monodepth(encoder=cfg.monodepth.encoder, width_mult=0.0625,
+                         input_s2d=native_s2d, compute_dtype=dtype)
     else:
-        fcn = FCN8s(num_classes=cfg.segmenter.num_classes)
-        mono = Monodepth(encoder=cfg.monodepth.encoder)
+        fcn = FCN8s(num_classes=cfg.segmenter.num_classes, input_s2d=native_s2d,
+                    compute_dtype=dtype)
+        mono = Monodepth(encoder=cfg.monodepth.encoder, input_s2d=native_s2d,
+                         compute_dtype=dtype)
     hw = (cfg.input_height, cfg.input_width)
     fcn_params = load_fcn_params(fcn, semantic_model, hw)
     mono_params = load_mono_params(mono, monodepth_checkpoint, hw)

@@ -70,6 +70,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="run stage-by-stage with device sync between stages so "
                         "_times.txt carries real per-stage wall times (slower)")
     p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--native_s2d", action="store_true",
+                   help="use the input_s2d native full-resolution variants "
+                        "(space-to-depth packed trunks; needs a matching "
+                        "trained weight set, e.g. .bench_weights/*_native)")
     return p
 
 
@@ -187,7 +191,8 @@ def main(argv=None):
     args = build_arg_parser().parse_args(argv)
     cfg = make_config(args)
     pipe = common.build_pipeline(
-        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny
+        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny,
+        native_s2d=args.native_s2d,
     )
 
     if args.input_frame:

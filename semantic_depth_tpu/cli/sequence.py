@@ -50,6 +50,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_xla", action="store_true", help="(compat no-op)")
     p.add_argument("--CUDA_DEVICE_NUMBER", default="0", help="(compat no-op)")
     p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--native_s2d", action="store_true",
+                   help="use the input_s2d native full-resolution variants "
+                        "(space-to-depth packed trunks; needs a matching "
+                        "trained weight set, e.g. .bench_weights/*_native)")
     return p
 
 
@@ -90,7 +94,8 @@ def main(argv=None):
         depth=args.depth,
     )
     pipe = common.build_pipeline(
-        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny
+        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny,
+        native_s2d=args.native_s2d,
     )
 
     out_root = os.path.join(args.results_dir, args.output_name)

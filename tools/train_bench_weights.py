@@ -51,9 +51,10 @@ MONO_PHASES = [(TRAIN_HW, 64, 8, 4000)]
 FCN_FR_PHASES = [(FULL_HW, 24, 2, 800)]
 MONO_FR_PHASES = [(FULL_HW, 24, 2, 800)]
 # Native variant (input_s2d trunks): the packed trunk costs ~4x less per
-# step, so it affords batch 4 at full res.
-FCN_NATIVE_PHASES = [(FULL_HW, 24, 4, 900)]
-MONO_NATIVE_PHASES = [(FULL_HW, 24, 4, 1200)]
+# step, so it affords batch 4 at full res and longer runs (first try at
+# 900/1200 steps left rw MAE at 0.55 m vs the 2-3 cm geometry floor).
+FCN_NATIVE_PHASES = [(FULL_HW, 24, 4, 2200)]
+MONO_NATIVE_PHASES = [(FULL_HW, 24, 4, 3200)]
 
 
 def _graft(template, src):
@@ -295,10 +296,12 @@ def ensure_bench_weights(
 
     fcn_init = mono_init = None
     if full_res:
+        # the native variant warm-starts from the DENSE full-res set (already
+        # adapted to native-scale image statistics), which itself chains from
+        # the headline set
         base_fcn, base_mono = ensure_bench_weights(
             out_dir, seed=seed, width_mult=width_mult, fc_channels=fc_channels,
-            fcn_phases=fcn_phases if not full_res else None,
-            mono_phases=mono_phases if not full_res else None, log=log,
+            full_res=native, log=log,
         )
         fcn_init = load(base_fcn, "fcn")
         mono_init = load(base_mono, "mono")
