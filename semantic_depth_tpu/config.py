@@ -129,6 +129,13 @@ class MonodepthConfig:
     encoder: str = "vgg"  # 'vgg' | 'resnet50'
     height: int = 256
     width: int = 512
+    # Reference test mode always runs the frame + its horizontal flip as a
+    # batch of 2 and blends (semantic_depth.py:656-678) — it compensates the
+    # published nets' left-edge disocclusion artifacts. Costs a full second
+    # forward pass. The supervised scene-trained native sets don't exhibit
+    # the artifact (bench measures rw MAE either way), so the native
+    # full-res mode may disable it; reference presets keep it on.
+    flip_average: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

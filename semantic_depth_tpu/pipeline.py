@@ -230,8 +230,14 @@ class SemanticDepthPipeline:
         self, mono_params: Any, frame_small: jnp.ndarray, disparity_mult: jnp.ndarray
     ) -> jnp.ndarray:
         """Monodepth flip-batch forward + flip-average postprocess + scaling
-        (semantic_depth.py:667-678, 144-145)."""
+        (semantic_depth.py:667-678, 144-145). flip_average=False (native
+        mode, config.MonodepthConfig doc) runs the single forward only."""
         norm = frame_small.astype(jnp.float32) / 255.0
+        if not self.config.monodepth.flip_average:
+            return (
+                self.mono.apply(mono_params, norm[None], method=self.mono.disp_left)[0]
+                * disparity_mult
+            )
         batch = jnp.stack([norm, norm[:, ::-1, :]], axis=0)
         disp = self.mono.apply(mono_params, batch, method=self.mono.disp_left)
         disp_pp = flip_average_postprocess(disp)
@@ -337,10 +343,17 @@ class SemanticDepthPipeline:
         fence_masks = probs[..., 1] > thr
 
         norm = small.astype(jnp.float32) / 255.0
-        flip_batch = jnp.concatenate([norm, norm[:, :, ::-1, :]], axis=0)  # (2B, h, w, 3)
-        disp_all = self.mono.apply(mono_params, flip_batch, method=self.mono.disp_left)
-        pairs = jnp.stack([disp_all[:b], disp_all[b:]], axis=1)  # (B, 2, h, w)
-        disps = jax.vmap(flip_average_postprocess)(pairs) * (disparity_mult * s_w)
+        if cfg.monodepth.flip_average:
+            flip_batch = jnp.concatenate([norm, norm[:, :, ::-1, :]], axis=0)  # (2B, h, w, 3)
+            disp_all = self.mono.apply(mono_params, flip_batch, method=self.mono.disp_left)
+            pairs = jnp.stack([disp_all[:b], disp_all[b:]], axis=1)  # (B, 2, h, w)
+            disps = jax.vmap(flip_average_postprocess)(pairs) * (disparity_mult * s_w)
+        else:
+            # config.MonodepthConfig.flip_average doc: the scene-trained
+            # native sets don't need the flip pass — halves the mono cost.
+            disps = self.mono.apply(mono_params, norm, method=self.mono.disp_left) * (
+                disparity_mult * s_w
+            )
 
         def geometry(frame_small, road_mask, fence_mask, disparity):
             points3d = camera_lib.reproject_disparity(disparity, cam)

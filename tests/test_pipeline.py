@@ -105,6 +105,39 @@ def test_pipeline_focal_and_mult_are_traced_not_static():
     assert pipe._process._cache_size() == n0  # no recompile across the sweep
 
 
+def test_flip_average_off_single_forward():
+    """flip_average=False (config.MonodepthConfig doc — the native mode's
+    single-forward disparity) must yield the un-blended left disparity,
+    identically between the single and batch paths."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(2, 128, 256, 3)).astype(np.float32)
+    base = tiny_pipeline(approach="rw")
+    cfg = dataclasses.replace(
+        base.config,
+        monodepth=dataclasses.replace(base.config.monodepth, flip_average=False),
+    )
+    pipe = pl.SemanticDepthPipeline(
+        cfg, base.fcn_params, base.mono_params, fcn=base.fcn, mono=base.mono
+    )
+    out_b = pipe.process_batch(frames)
+    out_s = pipe.process_frame(frames[0])
+    np.testing.assert_allclose(
+        np.asarray(out_b.disparity[0]), np.asarray(out_s.disparity),
+        rtol=1e-5, atol=1e-5,
+    )
+    # equals the raw net output times one scalar (the disparity multiplier
+    # chain) — i.e. NO spatial blending happened
+    norm = jnp.asarray(frames[0] / 255.0, jnp.float32)
+    raw = np.asarray(
+        base.mono.apply(base.mono_params, norm[None], method=base.mono.disp_left)[0]
+    )
+    got = np.asarray(out_s.disparity)
+    ratio = got / np.maximum(raw, 1e-9)
+    np.testing.assert_allclose(ratio, ratio.flat[0], rtol=1e-4)
+
+
 def test_process_batch_matches_single():
     rng = np.random.default_rng(1)
     frames = rng.integers(0, 256, size=(2, 256, 512, 3)).astype(np.float32)
