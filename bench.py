@@ -151,16 +151,25 @@ def _run_trials(pipe, batches, n_batches_per_trial, trials):
     return float(fps.max()), float(fps.mean()), float(fps.std())
 
 
-def _accuracy(pipe, batches, rw_true):
-    """finite_frac + rw MAE over the distinct pool scenes (one pass)."""
+def _accuracy(pipe, batches, rw_true, f2f_true=None):
+    """finite_frac + rw MAE (and, when truth is given, fence-to-fence MAE —
+    the reference's 'advanced' approach, semantic_depth.py:273-334) over the
+    distinct pool scenes (one pass)."""
     import numpy as np
 
-    widths = np.concatenate([np.asarray(pipe.process_batch(b).dist_rw) for b in batches])
+    outs = [pipe.process_batch(b) for b in batches]
+    widths = np.concatenate([np.asarray(o.dist_rw) for o in outs])
     rw_true = np.asarray(rw_true)[: widths.size]
     finite = np.isfinite(widths)
     finite_frac = float(finite.mean())
     mae = float(np.abs(widths[finite] - rw_true[finite]).mean()) if finite.any() else None
-    return finite_frac, mae
+    f2f_mae = None
+    if f2f_true is not None:
+        f2f = np.concatenate([np.asarray(o.dist_f2f) for o in outs])
+        f2f_true = np.asarray(f2f_true)[: f2f.size]
+        ff = np.isfinite(f2f)
+        f2f_mae = float(np.abs(f2f[ff] - f2f_true[ff]).mean()) if ff.any() else None
+    return finite_frac, mae, f2f_mae
 
 
 def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False):
@@ -220,7 +229,7 @@ def main():
     pipe = SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
 
     n_pool = POOL_BATCHES * BATCH
-    pool, _, _, rw_true = scene_pool(n_pool, 1024, 2048, seed=0)
+    pool, _, _, rw_true, f2f_true = scene_pool(n_pool, 1024, 2048, seed=0)
     batches = [
         jax.device_put(jnp.asarray(pool[i * BATCH : (i + 1) * BATCH]))
         for i in range(POOL_BATCHES)
@@ -236,7 +245,7 @@ def main():
 
     n_batches = max(1, (FRAMES_PER_TRIAL + BATCH - 1) // BATCH)
     best_fps, mean_fps, std_fps = _run_trials(pipe, batches, n_batches, TRIALS)
-    finite_frac, rw_mae = _accuracy(pipe, batches, rw_true)
+    finite_frac, rw_mae, f2f_mae = _accuracy(pipe, batches, rw_true, f2f_true)
 
     mfu = None
     flops_per_frame = None
@@ -280,15 +289,15 @@ def main():
         ]
         _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
         fps, _, _ = _run_trials(pipe_fr, fr_batches, max(1, n_frames // fr_batch), trials)
-        fin, mae = _accuracy(pipe_fr, fr_batches, rw_true)
-        return fps, fin, mae
+        fin, mae, fmae = _accuracy(pipe_fr, fr_batches, rw_true, f2f_true)
+        return fps, fin, mae, fmae
 
     # The NATIVE path: input_s2d trunks (bijective 2x2 pixel packing, learned
     # depth_to_space heads — models/fcn8s.py + models/monodepth.py docs).
     # Dense evaluation at 1024x2048 is roofline-capped below the 30 fps bar
     # (DESIGN.md); this is the architecture the full-res mode ships.
     full_res_fps = None
-    fr_finite = fr_mae = None
+    fr_finite = fr_mae = fr_f2f_mae = None
     fcn_n = FCN8s(num_classes=cfg.segmenter.num_classes,
                   compute_dtype=jnp.bfloat16, input_s2d=True)
     mono_n = Monodepth(encoder=cfg.monodepth.encoder,
@@ -297,7 +306,7 @@ def main():
     # batch 8 first and fall back if this chip's HBM is tight
     for fr_batch in (2 * FULL_RES_BATCH, FULL_RES_BATCH):
         try:
-            full_res_fps, fr_finite, fr_mae = full_res_leg(
+            full_res_fps, fr_finite, fr_mae, fr_f2f_mae = full_res_leg(
                 fcn_n, mono_n, native=True,
                 fr_batch=fr_batch, n_frames=2 * fr_batch, trials=2,
             )
@@ -310,7 +319,7 @@ def main():
     # reported for transparency next to the native number.
     full_res_dense_fps = None
     try:
-        full_res_dense_fps, _, _ = full_res_leg(
+        full_res_dense_fps, _, _, _ = full_res_leg(
             fcn, mono, native=False,
             fr_batch=FULL_RES_BATCH, n_frames=FULL_RES_BATCH, trials=1,
         )
@@ -333,6 +342,8 @@ def main():
     }
     if rw_mae is not None:
         out["rw_mae_m"] = round(rw_mae, 4)
+    if f2f_mae is not None:
+        out["f2f_mae_m"] = round(f2f_mae, 4)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["model_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
@@ -348,6 +359,8 @@ def main():
             out["full_res_finite_frac"] = round(fr_finite, 4)
         if fr_mae is not None:
             out["full_res_rw_mae_m"] = round(fr_mae, 4)
+        if fr_f2f_mae is not None:
+            out["full_res_f2f_mae_m"] = round(fr_f2f_mae, 4)
     if full_res_dense_fps is not None:
         out["full_res_dense_fps"] = round(full_res_dense_fps, 3)
     print(json.dumps(out))

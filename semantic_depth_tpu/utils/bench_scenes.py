@@ -67,14 +67,16 @@ def render_scene(
     camera: CameraConfig = CAMERA_MUNICH,
     disparity_mult: float = 2048.0,
     disp_noise: float = 0.001,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, float]:
     """Render one scene at (h, w).
 
     Returns (img_bgr_uint8 (h,w,3), label_ids (h,w) uint8 Cityscapes ids
     {road 7, fence 13, background 22}, disp_norm (h,w) f32 — the NORMALIZED
     disparity the monodepth net should output at this resolution (pixels /
-    (disparity_mult * s_w), matching pipeline.disparity's scaling), and
-    rw_true — the exact road width in meters).
+    (disparity_mult * s_w), matching pipeline.disparity's scaling),
+    rw_true — the exact road width in meters — and f2f_true, the exact
+    fence-to-fence distance 2*fence_x: the camera jitter shifts both planes
+    equally, so their separation is jitter-free).
     """
     if params is None:
         params = sample_params(rng)
@@ -154,7 +156,7 @@ def render_scene(
     img *= shade[..., None]
     img += rng.normal(0.0, 4.0, size=img.shape)
     img = np.clip(img, 0, 255).astype(np.uint8)
-    return img, labels, disp_norm, params.road_width
+    return img, labels, disp_norm, params.road_width, 2.0 * params.fence_x
 
 
 def scene_pool(
@@ -166,18 +168,20 @@ def scene_pool(
     disparity_mult: float = 2048.0,
 ):
     """n scenes: returns (imgs (n,h,w,3) uint8, labels (n,h,w) uint8,
-    disp_norm (n,h,w) f32, rw_true (n,) f32)."""
+    disp_norm (n,h,w) f32, rw_true (n,) f32, f2f_true (n,) f32)."""
     rng = np.random.default_rng(seed)
-    imgs, labels, disps, rws = [], [], [], []
+    imgs, labels, disps, rws, f2fs = [], [], [], [], []
     for _ in range(n):
-        i, l, d, r = render_scene(rng, h, w, camera=camera, disparity_mult=disparity_mult)
+        i, l, d, r, f2 = render_scene(rng, h, w, camera=camera, disparity_mult=disparity_mult)
         imgs.append(i)
         labels.append(l)
         disps.append(d)
         rws.append(r)
+        f2fs.append(f2)
     return (
         np.stack(imgs),
         np.stack(labels),
         np.stack(disps),
         np.asarray(rws, np.float32),
+        np.asarray(f2fs, np.float32),
     )

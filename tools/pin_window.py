@@ -38,7 +38,7 @@ def main():
     h, w = 1024, 2048
     cfg = munich_pipeline_config(input_height=h, input_width=w)
     rng = np.random.default_rng(0)
-    _, labels, disp_norm, _ = render_scene(rng, h, w)
+    _, labels, disp_norm, _, _ = render_scene(rng, h, w)
     cam = scaled_camera(cfg.camera, h, w)
     d_px = jnp.asarray(disp_norm * 2048.0 * (w / 512.0))
     pts = camera_lib.reproject_disparity(d_px, cam)

@@ -135,7 +135,7 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
     rng = np.random.default_rng(seed)
 
     for pi, (hw, n, batch, steps) in enumerate(phases):
-        imgs, labels, _, _ = pools[hw]
+        imgs, labels, _, _, _ = pools[hw]
         # pools ride as jit ARGUMENTS (device-resident), never closure
         # constants (constants bake into the XLA module); one-hot stays uint8
         # on device, cast per batch
@@ -204,7 +204,7 @@ def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
         return x.reshape(b, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
 
     for pi, (hw, n, batch, steps) in enumerate(phases):
-        imgs, labels, disps, _ = pools[hw]
+        imgs, labels, disps, _, _ = pools[hw]
         imgs_dev = jax.device_put(jnp.asarray(imgs[:n]))
         disp_dev = jax.device_put(jnp.asarray(disps[:n]))
         road_dev = jax.device_put(jnp.asarray((labels[:n] == 7)))
