@@ -142,6 +142,42 @@ def test_monodepth_input_s2d_pyramid():
     assert dl.shape == (1, h, w)
 
 
+def test_input_s2d_variants_train():
+    """One gradient step through both input_s2d variants (the native
+    weight-set trainer's path, tools/train_bench_weights.py) must produce
+    finite grads for EVERY leaf — including the new level-0 / phase-decoder
+    params."""
+    import optax
+
+    fcn = FCN8s(num_classes=3, width_mult=0.125, fc_channels=64, input_s2d=True)
+    x = jnp.ones((1, 64, 128, 3), jnp.float32)
+    p = fcn.init(jax.random.PRNGKey(0), x)
+    y = jax.nn.one_hot(jnp.zeros((1, 64, 128), jnp.int32), 3)
+
+    def loss_fcn(p):
+        logp = jax.nn.log_softmax(fcn.apply(p, x), axis=-1)
+        return -jnp.mean(jnp.sum(y * logp, axis=-1))
+
+    g = jax.grad(loss_fcn)(p)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
+        assert np.isfinite(np.asarray(leaf)).all(), path
+
+    mono = Monodepth(encoder="vgg", width_mult=0.0625, input_s2d=True)
+    xm = jnp.ones((1, 256, 256, 3), jnp.float32) * 0.5
+    pm = mono.init(jax.random.PRNGKey(1), xm)
+
+    def loss_mono(p):
+        disps = mono.apply(p, xm)
+        return sum(jnp.mean(jnp.abs(d)) for d in disps)
+
+    gm = jax.grad(loss_mono)(pm)
+    flat = jax.tree_util.tree_flatten_with_path(gm)[0]
+    names = {p[-2].key if hasattr(p[-2], "key") else str(p[-2]) for p, _ in flat}
+    assert any("upconv0" in str(p) for p, _ in flat)  # level-0 params present
+    for path, leaf in flat:
+        assert np.isfinite(np.asarray(leaf)).all(), path
+
+
 def test_monodepth_input_s2d_s2d_matches_plain():
     """The s2d_opt fast path of the input_s2d variant is the same exact
     kernel-rearrangement contract as the standard net: identical parameter
