@@ -89,6 +89,33 @@ class PlyCloud:
         return path
 
 
+def _native_read_rows(path: str, header_bytes: int, n_rows: int, n_cols: int):
+    """(n_rows, n_cols) f64 via native/ply_reader.cpp, or None to fall back."""
+    if n_rows == 0 or n_cols == 0:
+        return np.zeros((n_rows, max(n_cols, 1)), np.float64)
+    import ctypes
+
+    try:
+        from ..native import get_library
+
+        lib = get_library()
+        if lib is None:
+            return None
+        out = np.empty((n_rows, n_cols), np.float64)
+        got = lib.read_ply_rows(
+            path.encode(),
+            ctypes.c_int64(header_bytes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(n_rows),
+            ctypes.c_int32(n_cols),
+        )
+        if got != n_rows:
+            return None
+        return out
+    except Exception:
+        return None
+
+
 def write_ply(points3d, colors, output_name) -> str:
     cloud = PlyCloud(points3d, colors, output_name)
     return cloud.save()
@@ -96,10 +123,14 @@ def write_ply(points3d, colors, output_name) -> str:
 
 def read_ply(path: str):
     """Read an ASCII PLY with x y z [red green blue] vertex properties.
-    Returns (points (N, 3) f64, colors (N, 3) f64 or zeros)."""
-    with open(path, "r") as f:
+    Returns (points (N, 3) f64, colors (N, 3) f64 or zeros).
+
+    Row parsing goes through the native strtod parser
+    (native/ply_reader.cpp — numpy.loadtxt burns seconds on the ~500k-row
+    clouds the pipeline writes) with a pure-Python fallback."""
+    with open(path, "rb") as f:
         line = f.readline()
-        if not line.startswith("ply"):
+        if not line.startswith(b"ply"):
             raise ValueError(f"{path}: not a PLY file")
         n_vertices = 0
         props = []
@@ -110,15 +141,18 @@ def read_ply(path: str):
             tok = line.split()
             if not tok:
                 continue
-            if tok[0] == "element" and tok[1] == "vertex":
+            if tok[0] == b"element" and tok[1] == b"vertex":
                 n_vertices = int(tok[2])
-            elif tok[0] == "property":
-                props.append(tok[2])
-            elif tok[0] == "end_header":
+            elif tok[0] == b"property":
+                props.append(tok[2].decode())
+            elif tok[0] == b"end_header":
+                header_bytes = f.tell()
                 break
-            elif tok[0] == "format" and tok[1] != "ascii":
+            elif tok[0] == b"format" and tok[1] != b"ascii":
                 raise ValueError(f"{path}: only ascii PLY supported")
-        data = np.loadtxt(f, max_rows=n_vertices)
+        data = _native_read_rows(path, header_bytes, n_vertices, len(props))
+        if data is None:
+            data = np.loadtxt(f, max_rows=n_vertices)
     data = np.atleast_2d(data)
     ix = [props.index(p) for p in ("x", "y", "z")]
     pts = data[:, ix]

@@ -16,7 +16,7 @@ from typing import Optional
 
 _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "_build")
-_SOURCES = ["ply_writer.cpp"]
+_SOURCES = ["ply_writer.cpp", "ply_reader.cpp"]
 _LIB_NAME = "libsemantic_depth_native.so"
 
 _cached: Optional[ctypes.CDLL] = None
@@ -67,6 +67,14 @@ def get_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
+    ]
+    lib.read_ply_rows.restype = ctypes.c_int64
+    lib.read_ply_rows.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int32,
     ]
     _cached = lib
     return lib

@@ -27,6 +27,26 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(rcols, cols[keep])
 
 
+def test_ply_native_reader_matches_python(tmp_path, monkeypatch):
+    """The native strtod/from_chars row parser (native/ply_reader.cpp) must
+    agree EXACTLY with the numpy.loadtxt fallback, including negative,
+    exponent-form, and integer-color values."""
+    from semantic_depth_tpu.io import ply as ply_mod
+
+    rng = np.random.default_rng(3)
+    pts = np.concatenate(
+        [rng.normal(size=(200, 3)) * 1e3, rng.normal(size=(200, 3)) * 1e-4]
+    )
+    cols = rng.integers(0, 256, size=(400, 3)).astype(float)
+    path = ply_mod.PlyCloud(pts, cols, str(tmp_path / "cloud")).save()
+
+    native = ply_mod.read_ply(path)
+    monkeypatch.setattr(ply_mod, "_native_read_rows", lambda *a, **k: None)
+    fallback = ply_mod.read_ply(path)
+    np.testing.assert_array_equal(native[0], fallback[0])
+    np.testing.assert_array_equal(native[1], fallback[1])
+
+
 def test_render_points_paints_pixels():
     # a red wall of points 5 m in front of the camera
     xs, ys = np.meshgrid(np.linspace(-2, 2, 40), np.linspace(-1, 1, 20))
