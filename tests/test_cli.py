@@ -87,6 +87,30 @@ def test_sequence_cli_runs_double_buffered(tmp_path, frame_dir, monkeypatch):
     assert "element vertex" in head
 
 
+def test_sequence_cli_native_s2d(tmp_path, frame_dir, monkeypatch):
+    """--native_s2d drives the input_s2d variants end to end through the
+    sequence CLI (grid 256x512 so the packed vgg trunk sees 128x256)."""
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import sequence as cli
+
+    cli.main(
+        [
+            "--input_folder", str(frame_dir / "*.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "256",
+            "--input_width", "512",
+            "--dev_tiny",
+            "--native_s2d",
+            "--batch", "2",
+            "--results_dir", str(tmp_path / "results"),
+            "--output_name", "seqn",
+        ]
+    )
+    imgs = tmp_path / "results" / "seqn" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+
+
 def test_munich_sweep_mode(tmp_path, monkeypatch):
     """--input_frame='' runs the 5-image sweep over two focal lengths with
     MAE data files and the best-focal report (semantic_depth.py:843-944)."""
