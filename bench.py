@@ -39,9 +39,12 @@ fetched in one transfer per batch.
   bf16 FLOP/s (per-generation table below). ``measured_peak_matmul_tflops``
   is a CHAINED big-matmul probe (data-dependent fori_loop, overheads
   amortized) — the sustained ceiling this chip+stack actually reaches.
-* ``full_res_fps``: the native 1024x2048 path (networks run at full
-  resolution — no downsample round trip; the reference cannot do this at
-  all), measured over the same scene pool, with its own accuracy fields.
+* ``full_res_fps``: the native 1024x2048 path — every pixel enters the
+  networks (input_s2d packed trunks, DESIGN.md 4c; no downsample round
+  trip — the reference cannot do this at all), measured over the same
+  scene pool with its own accuracy fields (``full_res_rw_mae_m``,
+  ``full_res_f2f_mae_m``). ``full_res_dense_fps`` is the unmodified
+  reference architecture evaluated densely at 1024x2048, for transparency.
 """
 
 import json
@@ -56,8 +59,10 @@ BATCH = 8
 POOL_BATCHES = 4  # distinct device-resident scene batches, cycled
 FRAMES_PER_TRIAL = 104
 TRIALS = 3
-# Batch 4 fits since the s2d encoder stopped materializing full-res plain
-# conv maps (batch 2 -> 10.8 fps, batch 4 -> 14.6 on a quiet chip).
+# Dense-architecture full-res batch (batch 2 -> 10.8 fps, batch 4 -> 14.6
+# on a quiet chip; 4 fits since the s2d encoder stopped materializing plain
+# full-res conv maps). The NATIVE leg tries 2x this first — its packed
+# trunks use ~4x less activation memory — and falls back on OOM.
 FULL_RES_BATCH = 4
 FULL_RES_FRAMES = 16
 BENCH_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_weights")
