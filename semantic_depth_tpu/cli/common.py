@@ -289,6 +289,15 @@ def build_pipeline(
     native_s2d=True builds the input_s2d full-res variants (models/fcn8s.py
     + models/monodepth.py docs — trained per-resolution sets, e.g.
     tools/train_bench_weights.py --native)."""
+    if native_s2d and (cfg.input_height % 256 or cfg.input_width % 256):
+        # the packed vgg monodepth trunk halves 7 times: input/2 must be a
+        # multiple of 128 — fail here with a usable message instead of a
+        # shape error deep in the encoder
+        raise ValueError(
+            f"--native_s2d needs input_height/input_width multiples of 256 "
+            f"(got {cfg.input_height}x{cfg.input_width}): the 2x2-packed vgg "
+            f"trunk requires its half-resolution grid to divide by 128"
+        )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if tiny:
         fcn = FCN8s(num_classes=cfg.segmenter.num_classes, width_mult=0.0625,
