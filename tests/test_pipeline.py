@@ -175,6 +175,38 @@ def test_export_roundtrip(tmp_path):
     assert bool(got[2]) == bool(want.rw_found)
 
 
+def test_export_roundtrip_native(tmp_path):
+    """The native input_s2d architecture exports/reloads through the same
+    StableHLO serving path (frozen-graph equivalent) as the reference nets."""
+    import jax
+
+    from semantic_depth_tpu.export import export_pipeline, load_pipeline
+
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        input_height=256, input_width=512, approach="rw",
+        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+    )
+    cfg = dataclasses.replace(
+        cfg, monodepth=dataclasses.replace(cfg.monodepth, flip_average=False)
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32, input_s2d=True)
+    mono = Monodepth(encoder="vgg", width_mult=0.0625, input_s2d=True)
+    fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3), jnp.float32))
+    mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 256, 512, 3), jnp.float32))
+    pipe = pl.SemanticDepthPipeline(cfg, fp, mp, fcn=fcn, mono=mono)
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(256, 512, 3)).astype(np.float32)
+    path = export_pipeline(pipe, str(tmp_path / "native.shlo"),
+                           frame_shape=(256, 512, 3))
+    call = load_pipeline(path)
+    got = call(jnp.asarray(frame), jnp.float32(380.0), jnp.float32(512.0))
+    want = pipe.process_frame(frame, focal=380.0, disparity_mult=512.0)
+    a, b = float(got[0]), float(want.dist_rw)
+    assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(b, rel=1e-6)
+
+
 def test_pipeline_resnet50_encoder():
     """Pipeline with the monodepth resnet50 encoder variant (reference
     --monodepth_encoder=resnet50, semantic_depth.py:721-722)."""
