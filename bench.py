@@ -177,11 +177,15 @@ def _accuracy(pipe, batches, rw_true, f2f_true=None):
     return finite_frac, mae, f2f_mae
 
 
-def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False):
+def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False,
+                        train=True):
     """Trained scene weights (train-on-first-run, cached); random fallback.
     full_res=True loads the set fine-tuned at native 1024x2048 (a 256x512
     net collapses on full-res inputs); native=True loads the input_s2d
-    variant's set — see tools/train_bench_weights.py."""
+    variant's set — see tools/train_bench_weights.py. train=False never
+    trains: it loads the cached set if present, else returns random (used
+    after a training attempt already failed this run — re-attempting the
+    same doomed training per leg would burn chip-hours for nothing)."""
     import jax
     import jax.numpy as jnp
 
@@ -190,11 +194,19 @@ def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False):
     fcn_t = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
     mono_t = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, h, w, 3), jnp.float32))
     try:
-        from tools.train_bench_weights import ensure_bench_weights
+        from tools.train_bench_weights import bench_weight_paths, ensure_bench_weights
 
-        fcn_path, mono_path = ensure_bench_weights(
-            BENCH_WEIGHTS_DIR, full_res=full_res, native=native, log=log
-        )
+        if train:
+            fcn_path, mono_path = ensure_bench_weights(
+                BENCH_WEIGHTS_DIR, full_res=full_res, native=native, log=log
+            )
+        else:
+            fcn_path, mono_path = bench_weight_paths(
+                BENCH_WEIGHTS_DIR, full_res=full_res, native=native
+            )
+            if not (os.path.exists(fcn_path) and os.path.exists(mono_path)):
+                log("no cached bench weights and training disabled; random weights")
+                return fcn_t, mono_t, "random"
         return (
             weights_lib.load_params(fcn_t, fcn_path),
             weights_lib.load_params(mono_t, mono_path),
@@ -281,10 +293,13 @@ def main():
     )
 
     def full_res_leg(fcn_fr, mono_fr, *, native, fr_batch, n_frames, trials):
-        """One full-res measurement: build the pipe, time, score accuracy."""
-        fcn_p, mono_p, _ = _load_bench_weights(
+        """One full-res measurement: build the pipe, time, score accuracy.
+        Training is attempted only when the headline training succeeded —
+        when it already failed this run, the leg loads the cache or runs
+        random-weight (and says so in the returned mode)."""
+        fcn_p, mono_p, leg_mode = _load_bench_weights(
             fcn_fr, mono_fr, h, w, log,
-            full_res=(weight_mode == "trained"), native=native,
+            full_res=True, native=native, train=(weight_mode == "trained"),
         )
         cfg_leg = cfg_fr_native if native else cfg_fr
         pipe_fr = SemanticDepthPipeline(cfg_leg, fcn_p, mono_p, fcn=fcn_fr, mono=mono_fr)
@@ -295,14 +310,14 @@ def main():
         _ = np.asarray(pipe_fr.process_batch(fr_batches[0]).dist_rw)  # warmup
         fps, _, _ = _run_trials(pipe_fr, fr_batches, max(1, n_frames // fr_batch), trials)
         fin, mae, fmae = _accuracy(pipe_fr, fr_batches, rw_true, f2f_true)
-        return fps, fin, mae, fmae
+        return fps, fin, mae, fmae, leg_mode
 
     # The NATIVE path: input_s2d trunks (bijective 2x2 pixel packing, learned
     # depth_to_space heads — models/fcn8s.py + models/monodepth.py docs).
     # Dense evaluation at 1024x2048 is roofline-capped below the 30 fps bar
     # (DESIGN.md); this is the architecture the full-res mode ships.
     full_res_fps = None
-    fr_finite = fr_mae = fr_f2f_mae = None
+    fr_finite = fr_mae = fr_f2f_mae = fr_mode = None
     fcn_n = FCN8s(num_classes=cfg.segmenter.num_classes,
                   compute_dtype=jnp.bfloat16, input_s2d=True)
     mono_n = Monodepth(encoder=cfg.monodepth.encoder,
@@ -311,7 +326,7 @@ def main():
     # batch 8 first and fall back if this chip's HBM is tight
     for fr_batch in (2 * FULL_RES_BATCH, FULL_RES_BATCH):
         try:
-            full_res_fps, fr_finite, fr_mae, fr_f2f_mae = full_res_leg(
+            full_res_fps, fr_finite, fr_mae, fr_f2f_mae, fr_mode = full_res_leg(
                 fcn_n, mono_n, native=True,
                 fr_batch=fr_batch, n_frames=2 * fr_batch, trials=2,
             )
@@ -324,7 +339,7 @@ def main():
     # reported for transparency next to the native number.
     full_res_dense_fps = None
     try:
-        full_res_dense_fps, _, _, _ = full_res_leg(
+        full_res_dense_fps, _, _, _, _ = full_res_leg(
             fcn, mono, native=False,
             fr_batch=FULL_RES_BATCH, n_frames=FULL_RES_BATCH, trials=1,
         )
@@ -360,6 +375,8 @@ def main():
     if full_res_fps is not None:
         out["full_res_fps"] = round(full_res_fps, 3)
         out["full_res_vs_baseline"] = round(full_res_fps / REFERENCE_FPS, 2)
+        # a random-weight fps must not read as a trained-architecture number
+        out["full_res_weights"] = fr_mode
         if fr_finite is not None:
             out["full_res_finite_frac"] = round(fr_finite, 4)
         if fr_mae is not None:

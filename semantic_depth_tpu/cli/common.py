@@ -8,10 +8,14 @@ PIL is the fallback.
 
 from __future__ import annotations
 
+import dataclasses
 import os
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
+
+_WARNED_NO_TEXT = False
 
 try:
     import cv2
@@ -101,7 +105,9 @@ def save_disparity_png(disp: np.ndarray, output_name: str, oh: int, ow: int) -> 
 # With cv2 present the calls match the reference pixel-for-pixel; without it
 # a PIL ImageDraw fallback renders the same text/layout (different font
 # rasterization, same content) instead of silently returning the image
-# un-annotated.
+# un-annotated. With NEITHER optional dependency installed, text is skipped
+# with a one-time warning (the band rectangle still lands via numpy) — a
+# base install must not crash the whole frame over a label.
 
 
 def _fill_rect(img: np.ndarray, p0, p1, color_bgr) -> None:
@@ -122,7 +128,17 @@ def _put_text(img: np.ndarray, text, org, font_scale, color_bgr, thickness) -> N
             thickness=thickness,
         )
         return
-    from PIL import Image, ImageDraw, ImageFont
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+    except ImportError:
+        global _WARNED_NO_TEXT
+        if not _WARNED_NO_TEXT:
+            warnings.warn(
+                "neither cv2 nor PIL available: annotation text skipped "
+                "(install the 'io' extra for annotated overlays)"
+            )
+            _WARNED_NO_TEXT = True
+        return
 
     pil = Image.fromarray(img[:, :, ::-1])
     draw = ImageDraw.Draw(pil)
@@ -288,7 +304,14 @@ def build_pipeline(
     smoke-test mode; production weights require the full architecture.
     native_s2d=True builds the input_s2d full-res variants (models/fcn8s.py
     + models/monodepth.py docs — trained per-resolution sets, e.g.
-    tools/train_bench_weights.py --native)."""
+    tools/train_bench_weights.py --native) and turns OFF the monodepth
+    flip-average pass, matching every other native surface (bench native leg,
+    tests/golden/native_golden.json, __graft_entry__.dryrun_multichip): the
+    scene-trained native sets don't need it and it doubles the mono cost."""
+    if native_s2d:
+        cfg = dataclasses.replace(
+            cfg, monodepth=dataclasses.replace(cfg.monodepth, flip_average=False)
+        )
     if native_s2d and (cfg.input_height % 256 or cfg.input_width % 256):
         # the packed vgg monodepth trunk halves 7 times: input/2 must be a
         # multiple of 128 — fail here with a usable message instead of a

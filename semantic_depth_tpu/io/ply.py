@@ -134,6 +134,7 @@ def read_ply(path: str):
             raise ValueError(f"{path}: not a PLY file")
         n_vertices = 0
         props = []
+        cur_element = None  # which element's property lines we are reading
         while True:
             line = f.readline()
             if not line:
@@ -141,9 +142,20 @@ def read_ply(path: str):
             tok = line.split()
             if not tok:
                 continue
-            if tok[0] == b"element" and tok[1] == b"vertex":
-                n_vertices = int(tok[2])
-            elif tok[0] == b"property":
+            if tok[0] == b"element":
+                if tok[1] == b"vertex":
+                    if cur_element is not None:
+                        # An element declared before vertex means vertex rows
+                        # are not first in the data section; neither parser
+                        # below would read the right bytes.
+                        raise ValueError(
+                            f"{path}: vertex element is not first in file"
+                        )
+                    n_vertices = int(tok[2])
+                cur_element = tok[1]
+            elif tok[0] == b"property" and cur_element == b"vertex":
+                # Count only the vertex element's scalar properties — later
+                # elements (e.g. faces) must not widen the row stride.
                 props.append(tok[2].decode())
             elif tok[0] == b"end_header":
                 header_bytes = f.tell()

@@ -66,6 +66,7 @@ def fetch(
     wget -nc semantics); verify the checksum when given. Removes partial
     files on failure."""
     fetcher = fetcher or _default_fetcher
+    downloaded = False
     if not os.path.exists(out_path):
         tmp = out_path + ".part"
         try:
@@ -75,19 +76,24 @@ def fetch(
                 os.remove(tmp)
             raise
         os.replace(tmp, out_path)
-    got = _sha256(out_path)
+        downloaded = True
     if sha256 is not None:
+        # Pinned digest: verify on every call (cheap insurance against a
+        # corrupted cache is the point of pinning).
+        got = _sha256(out_path)
         if got != sha256:
             os.remove(out_path)
             raise ValueError(
                 f"checksum mismatch for {out_path}: got {got}, expected {sha256}"
             )
-    else:
+    elif downloaded:
         # No pinned digest exists for the published sets yet (this build
         # environment has no egress to compute them) — print what we got so
-        # the first networked run can freeze it in WEIGHTS.md.
+        # the first networked run can freeze it in WEIGHTS.md. Only on a
+        # fresh download: re-hashing multi-hundred-MB cached zips on every
+        # call would add seconds of pure IO per run.
         print(
-            f"sha256({os.path.basename(out_path)}) = {got}\n"
+            f"sha256({os.path.basename(out_path)}) = {_sha256(out_path)}\n"
             "  (unpinned — record this digest in models/WEIGHTS.md and pass "
             "--sha256 on future fetches)"
         )

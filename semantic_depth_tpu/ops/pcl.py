@@ -518,7 +518,6 @@ def compact_slab_aware(
     # indicator cumsum instead of two full-length scans, and the packing
     # done by _ranked_rows gathers instead of a full-length row scatter —
     # together 52 -> ~13 ms per (4, 2M) batch on v5e.
-    n_rows = cloud.capacity
     x = cloud.xyz[:, axis]
     in_slab = cloud.valid & (x > lo) & (x < hi)
     out = cloud.valid & ~in_slab

@@ -35,12 +35,23 @@ def _run():
     from semantic_depth_tpu.utils.make_mockup import _scene
 
     base = munich_pipeline_config()
+    # Threshold/depth/z-window are tuned so the RANDOM-init tiny nets drive
+    # the full geometry chain to a FINITE width (rw_found=True): a random
+    # 3-class softmax needs threshold < 1/3 to produce a road mask, and the
+    # random mono net's disparity (~75-82) maps to ~4.6-5.1 m depth, so the
+    # target slab and the z-window cut must sit in that range. Without this
+    # the dist_rw golden pins NaN and the post-disparity chain is unpinned.
     cfg = munich_pipeline_config(
         input_height=256, input_width=512, approach="rw",
-        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+        road=dataclasses.replace(
+            base.road, neighbor_capacity=2048, z_keep_beyond=4.0
+        ),
+        depth=4.85,
     )
     cfg = dataclasses.replace(
-        cfg, monodepth=dataclasses.replace(cfg.monodepth, flip_average=False)
+        cfg,
+        monodepth=dataclasses.replace(cfg.monodepth, flip_average=False),
+        segmenter=dataclasses.replace(cfg.segmenter, threshold=0.3),
     )
     fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32, input_s2d=True)
     mono = Monodepth(encoder="vgg", width_mult=0.0625, input_s2d=True)
@@ -70,6 +81,9 @@ def _run():
 def test_golden_native():
     record = _run()
     assert record["disparity_shape"] == [1, 256, 512]  # full grid, not packed
+    # the golden must pin a SUCCESSFUL geometry chain, not a NaN one
+    assert record["rw_found"] is True
+    assert np.isfinite(record["dist_rw"]).all()
 
     if os.environ.get("GOLDEN_REGEN") == "1" or not os.path.exists(GOLDEN_PATH):
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)

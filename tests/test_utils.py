@@ -47,6 +47,51 @@ def test_ply_native_reader_matches_python(tmp_path, monkeypatch):
     np.testing.assert_array_equal(native[1], fallback[1])
 
 
+def test_ply_reader_mesh_with_faces(tmp_path):
+    """A PLY with an element after vertex (faces) must not widen the vertex
+    row stride: only the vertex element's properties count (both the native
+    parser and the loadtxt fallback read exactly n_vertices rows)."""
+    from semantic_depth_tpu.io import ply as ply_mod
+
+    pts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
+    path = str(tmp_path / "mesh.ply")
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+        )
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        f.write("3 0 1 2\n")
+
+    rpts, rcols = read_ply(path)
+    np.testing.assert_allclose(rpts, pts)
+    np.testing.assert_array_equal(rcols, np.zeros_like(pts))
+
+    # the pure-python fallback agrees
+    import unittest.mock as mock
+
+    with mock.patch.object(ply_mod, "_native_read_rows", lambda *a, **k: None):
+        fpts, _ = read_ply(path)
+    np.testing.assert_allclose(fpts, pts)
+
+    # an element *before* vertex is rejected, not silently mis-parsed
+    bad = str(tmp_path / "bad.ply")
+    with open(bad, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            "element edge 1\nproperty int a\n"
+            "element vertex 1\nproperty float x\nproperty float y\n"
+            "property float z\nend_header\n1\n0 0 0\n"
+        )
+    with pytest.raises(ValueError, match="not first"):
+        read_ply(bad)
+
+
 def test_render_points_paints_pixels():
     # a red wall of points 5 m in front of the camera
     xs, ys = np.meshgrid(np.linspace(-2, 2, 40), np.linspace(-1, 1, 20))

@@ -70,7 +70,7 @@ def main():
     h, w = cfg.input_height, cfg.input_width
     fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3), jnp.float32))
     mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 256, 512, 3), jnp.float32))
-    if os.path.exists(wf):
+    if os.path.exists(wf) and os.path.exists(wm):
         fp = weights_lib.load_params(fp, wf)
         mp = weights_lib.load_params(mp, wm)
 

@@ -247,6 +247,20 @@ def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
     return params
 
 
+def bench_weight_paths(out_dir=".bench_weights", full_res=False, native=False):
+    """The (fcn_msgpack, mono_msgpack) cache paths for a weight set, without
+    training anything (bench.py uses this to probe the cache when a previous
+    training attempt already failed this run)."""
+    if native:
+        suffix = "_native"
+    else:
+        suffix = "_fullres" if full_res else ""
+    return (
+        os.path.join(out_dir, f"fcn8s{suffix}.msgpack"),
+        os.path.join(out_dir, f"monodepth{suffix}.msgpack"),
+    )
+
+
 def ensure_bench_weights(
     out_dir=".bench_weights",
     seed=0,
@@ -272,11 +286,7 @@ def ensure_bench_weights(
     os.makedirs(out_dir, exist_ok=True)
     if native:
         full_res = True  # native implies the full-res protocol
-        suffix = "_native"
-    else:
-        suffix = "_fullres" if full_res else ""
-    fcn_path = os.path.join(out_dir, f"fcn8s{suffix}.msgpack")
-    mono_path = os.path.join(out_dir, f"monodepth{suffix}.msgpack")
+    fcn_path, mono_path = bench_weight_paths(out_dir, full_res=full_res, native=native)
     if not force and os.path.exists(fcn_path) and os.path.exists(mono_path):
         return fcn_path, mono_path
 
