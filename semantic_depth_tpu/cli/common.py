@@ -312,14 +312,16 @@ def build_pipeline(
         cfg = dataclasses.replace(
             cfg, monodepth=dataclasses.replace(cfg.monodepth, flip_average=False)
         )
-    if native_s2d and (cfg.input_height % 256 or cfg.input_width % 256):
-        # the packed vgg monodepth trunk halves 7 times: input/2 must be a
-        # multiple of 128 — fail here with a usable message instead of a
-        # shape error deep in the encoder
+    # the packed vgg monodepth trunk halves 7 times (input/2 must divide by
+    # 128); the resnet50 trunk halves 6 times (divide by 64) — fail here
+    # with a usable message instead of a shape error deep in the encoder
+    need = 256 if cfg.monodepth.encoder == "vgg" else 128
+    if native_s2d and (cfg.input_height % need or cfg.input_width % need):
         raise ValueError(
-            f"--native_s2d needs input_height/input_width multiples of 256 "
-            f"(got {cfg.input_height}x{cfg.input_width}): the 2x2-packed vgg "
-            f"trunk requires its half-resolution grid to divide by 128"
+            f"--native_s2d needs input_height/input_width multiples of {need} "
+            f"(got {cfg.input_height}x{cfg.input_width}): the 2x2-packed "
+            f"{cfg.monodepth.encoder} trunk requires its half-resolution grid "
+            f"to divide by {need // 2}"
         )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if tiny:

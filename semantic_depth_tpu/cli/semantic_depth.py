@@ -78,6 +78,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def make_config(args):
+    import dataclasses
+
     base = cityscapes_pipeline_config if args.is_city else munich_pipeline_config
     cfg = base(
         input_height=args.input_height,
@@ -85,9 +87,15 @@ def make_config(args):
         approach=args.approach,
         depth=args.depth,
     )
+    if args.monodepth_encoder != cfg.monodepth.encoder:
+        # --monodepth_encoder selects vgg|resnet50 (semantic_depth.py:721-722)
+        cfg = dataclasses.replace(
+            cfg,
+            monodepth=dataclasses.replace(
+                cfg.monodepth, encoder=args.monodepth_encoder
+            ),
+        )
     if args.f is not None:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, camera=cfg.camera.with_focal(args.f))
     return cfg
 

@@ -111,6 +111,45 @@ def test_sequence_cli_native_s2d(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
 
 
+def test_monodepth_encoder_flag_reaches_config():
+    """--monodepth_encoder must actually select the encoder (reference flag
+    semantic_depth.py:721-722) — it was once parsed but silently ignored."""
+    from semantic_depth_tpu.cli import semantic_depth as sd_cli
+
+    args = sd_cli.build_arg_parser().parse_args(
+        ["--input_frame", "x.png", "--monodepth_encoder", "resnet50"]
+    )
+    assert sd_cli.make_config(args).monodepth.encoder == "resnet50"
+
+
+def test_native_s2d_size_validation_is_encoder_aware():
+    """build_pipeline rejects sizes the packed trunk can't take, with the
+    per-encoder granularity (vgg: %256 — 7 halvings on the half grid;
+    resnet50: %128 — 6 halvings), and native mode disables flip_average."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from semantic_depth_tpu.cli import common
+    from semantic_depth_tpu.config import munich_pipeline_config
+
+    cfg = munich_pipeline_config(input_height=128, input_width=256)
+    with _pytest.raises(ValueError, match="multiples of 256"):
+        common.build_pipeline(cfg, "random", "random", tiny=True, native_s2d=True)
+
+    cfg_rn = dataclasses.replace(
+        cfg, monodepth=dataclasses.replace(cfg.monodepth, encoder="resnet50")
+    )
+    # 128x256 is legal for the resnet50 trunk — and the built pipeline must
+    # run single-forward disparity (flip_average off), like every other
+    # native surface
+    pipe = common.build_pipeline(cfg_rn, "random", "random", tiny=True,
+                                 native_s2d=True)
+    assert pipe.config.monodepth.flip_average is False
+    out = pipe.process_batch(np.zeros((1, 128, 256, 3), np.uint8))
+    assert np.asarray(out.disparity).shape == (1, 128, 256)
+
+
 def test_munich_sweep_mode(tmp_path, monkeypatch):
     """--input_frame='' runs the 5-image sweep over two focal lengths with
     MAE data files and the best-focal report (semantic_depth.py:843-944)."""

@@ -178,19 +178,20 @@ def test_input_s2d_variants_train():
         assert np.isfinite(np.asarray(leaf)).all(), path
 
 
-def test_monodepth_input_s2d_s2d_matches_plain():
+@pytest.mark.parametrize("encoder,h,w", [("vgg", 256, 256), ("resnet50", 128, 256)])
+def test_monodepth_input_s2d_s2d_matches_plain(encoder, h, w):
     """The s2d_opt fast path of the input_s2d variant is the same exact
-    kernel-rearrangement contract as the standard net: identical parameter
-    tree, outputs equal to the plain path at every scale."""
+    kernel-rearrangement contract as the standard net, for BOTH published
+    encoders: identical parameter tree, outputs equal to the plain path at
+    every scale (the resnet50 packed trunk only needs H,W % 128)."""
     rng = np.random.default_rng(1)
-    h, w = 256, 256
     x = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
     plain = Monodepth(
-        encoder="vgg", compute_dtype=jnp.float32, input_s2d=True, s2d_opt=False,
+        encoder=encoder, compute_dtype=jnp.float32, input_s2d=True, s2d_opt=False,
         width_mult=0.0625,
     )
     fast = Monodepth(
-        encoder="vgg", compute_dtype=jnp.float32, input_s2d=True, s2d_opt=True,
+        encoder=encoder, compute_dtype=jnp.float32, input_s2d=True, s2d_opt=True,
         width_mult=0.0625,
     )
     p1 = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
