@@ -100,7 +100,12 @@ def make_trainer(args) -> FCNTrainer:
                       width_mult=0.125, fc_channels=32)
     else:
         model = FCN8s(num_classes=cfg.num_classes, dropout_keep_prob=cfg.dropout)
-    trainer = FCNTrainer(cfg, model=model)
+    mesh = None
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # dp x tp over all local devices
+    trainer = FCNTrainer(cfg, model=model, mesh=mesh)
     if getattr(args, "init_from", None):
         trainer.set_params(
             load_warm_start(model, trainer.state.params, args.init_from)

@@ -90,16 +90,17 @@ def make_sharded_train_step(mesh: Mesh, model, tx, num_classes: int, l2_scale: f
 
 
 def _opt_state_shardings(mesh: Mesh, opt_state, params):
-    """Adam moments have param shapes -> same shardings; scalars replicated."""
-    p_spec_tree = jax.tree_util.tree_map_with_path(lambda pa, l: _param_spec(pa, l), params)
-    flat_specs = jax.tree_util.tree_leaves(p_spec_tree)
-    flat_params = jax.tree_util.tree_leaves(params)
-    shape_to_spec = {}
-    for spec, leaf in zip(flat_specs, flat_params):
-        shape_to_spec.setdefault(jnp.shape(leaf), spec)
+    """Adam moments mirror the param shardings; scalars replicated.
 
-    def pick(leaf):
-        spec = shape_to_spec.get(jnp.shape(leaf), P())
-        return NamedSharding(mesh, spec)
+    The moments live at paths like (0, 'mu', 'params', 'fc6', 'kernel') —
+    the param path is a suffix, so _param_spec applies directly. (A
+    shape-based lookup is NOT safe here: a tp-sharded fc6 bias and a
+    replicated conv bias can share (C,) shapes.)"""
+    del params
 
-    return jax.tree.map(pick, opt_state)
+    def pick(path, leaf):
+        if jnp.ndim(leaf) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _param_spec(path, leaf))
+
+    return jax.tree_util.tree_map_with_path(pick, opt_state)

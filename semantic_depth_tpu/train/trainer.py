@@ -56,7 +56,12 @@ class FCNTrainer:
         model: Optional[FCN8s] = None,
         init_params: Any = None,
         rng: Optional[jax.Array] = None,
+        mesh: Any = None,
     ):
+        """mesh: optional jax.sharding.Mesh with ('dp', 'tp') axes
+        (parallel.mesh.make_mesh). When given, the train step runs sharded —
+        batches split over 'dp', fc6/fc7 Megatron-split over 'tp'
+        (parallel.train_step) — and batch_size must divide by the dp size."""
         self.config = config
         self.model = model or FCN8s(
             num_classes=config.num_classes, dropout_keep_prob=config.dropout
@@ -64,12 +69,38 @@ class FCNTrainer:
         self.tx = optax.adam(config.learning_rate)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.rng = rng
+        self.mesh = mesh
         if init_params is None:
             h, w = config.image_shape
             init_params = self.model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
-        self.state = TrainState(params=init_params, opt_state=self.tx.init(init_params))
-        self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._install_params(init_params)
+
+    def _install_params(self, params) -> None:
+        """(Re)build state + the jitted train step for ``params`` — sharded
+        over self.mesh when one was given, single-device otherwise."""
+        if self.mesh is not None:
+            from ..parallel.train_step import (
+                make_sharded_train_step,
+                shard_fcn_params,
+            )
+
+            dp = self.mesh.shape["dp"]
+            if self.config.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {self.config.batch_size} must be a multiple "
+                    f"of the mesh's dp size {dp}"
+                )
+            params = shard_fcn_params(self.mesh, params)
+            opt_state = self.tx.init(params)  # moments inherit param shardings
+            self._train_step = make_sharded_train_step(
+                self.mesh, self.model, self.tx, self.config.num_classes,
+                self.config.l2_scale,
+            )(params, opt_state)
+        else:
+            opt_state = self.tx.init(params)
+            self._train_step = jax.jit(self._train_step_impl)
+        self.state = TrainState(params=params, opt_state=opt_state)
 
     # -- jitted steps ------------------------------------------------------
     def _loss_fn(self, params, images, labels, dropout_rng):
@@ -193,8 +224,9 @@ class FCNTrainer:
 
     def set_params(self, params: Any) -> None:
         """Replace the model parameters (warm start / restore), resetting the
-        optimizer state and step counter."""
-        self.state = TrainState(params=params, opt_state=self.tx.init(params))
+        optimizer state and step counter (re-sharding over the mesh when one
+        was given)."""
+        self._install_params(params)
 
     # -- persistence -------------------------------------------------------
     def save_msgpack(self, path: str) -> str:
@@ -214,9 +246,10 @@ class FCNTrainer:
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, {"params": self.state.params, "step": 0})
+        self._install_params(restored["params"])
         self.state = TrainState(
-            params=restored["params"],
-            opt_state=self.tx.init(restored["params"]),
+            params=self.state.params,
+            opt_state=self.state.opt_state,
             step=int(restored["step"]),
         )
 

@@ -147,3 +147,45 @@ def test_dryrun_multichip_small_counts():
     mod.dryrun_multichip(4)
     mod.dryrun_multichip(2)
     mod.dryrun_multichip(1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fcn_trainer_mesh_mode_matches_single_device():
+    """FCNTrainer(mesh=...) — the cli.fcn --mesh path — must train with the
+    sharded step and agree with the plain trainer on the same data/rng."""
+    from semantic_depth_tpu.train.trainer import FCNTrainer
+
+    cfg = TrainConfig(learning_rate=1e-3, batch_size=8, image_shape=(32, 64))
+    model = FCN8s(num_classes=3, width_mult=0.25, fc_channels=128)
+    mesh = make_mesh(8)
+
+    plain = FCNTrainer(cfg, model=model, rng=jax.random.PRNGKey(7))
+    sharded = FCNTrainer(cfg, model=model, rng=jax.random.PRNGKey(7), mesh=mesh)
+
+    h, w = cfg.image_shape
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(0, 255, (8, h, w, 3)), jnp.float32)
+    labels = jax.nn.one_hot(jnp.asarray(rng.integers(0, 3, (8, h, w))), 3,
+                            dtype=jnp.float32)
+
+    for _ in range(2):
+        m_plain = plain.train_batch(images, labels)
+        m_shard = sharded.train_batch(images, labels)
+    assert np.isfinite(m_shard["loss"])
+    assert m_shard["loss"] == pytest.approx(m_plain["loss"], rel=1e-4)
+    np.testing.assert_array_equal(m_shard["cm"].sum(), 8 * h * w)
+    assert sharded.state.step == 2
+
+    # the fc6 kernel really is tp-sharded on the mesh
+    fc6 = sharded.state.params["params"]["fc6"]["kernel"]
+    assert not fc6.sharding.is_fully_replicated
+
+    # set_params re-shards and keeps training
+    sharded.set_params(jax.device_get(plain.state.params))
+    m2 = sharded.train_batch(images, labels)
+    assert np.isfinite(m2["loss"])
+
+    # batch sizes that don't divide dp are rejected with a usable error
+    bad = TrainConfig(learning_rate=1e-3, batch_size=3, image_shape=(32, 64))
+    with pytest.raises(ValueError, match="multiple"):
+        FCNTrainer(bad, model=model, mesh=mesh)
