@@ -149,7 +149,15 @@ class MonodepthTrainer:
         init_params: Any = None,
         input_hw: Tuple[int, int] = (256, 512),
         rng: Optional[jax.Array] = None,
+        mesh: Any = None,
     ):
+        """mesh: optional jax.sharding.Mesh. When given, stereo batches are
+        split over ALL mesh axes and params/optimizer state replicated — the
+        TPU-native analog of the multi-GPU tower averaging the upstream
+        trainer does with average_gradients.py (vendored but never shipped,
+        monodepth_lib/README.md:3; imported at semantic_depth.py:67). GSPMD
+        inserts the gradient all-reduce from the shardings; batch size must
+        divide by the mesh's device count."""
         self.config = config
         self.model = model or Monodepth()
         self.tx = optax.adam(config.learning_rate)
@@ -157,10 +165,23 @@ class MonodepthTrainer:
         if init_params is None:
             h, w = input_hw
             init_params = self.model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P(mesh.axis_names))
+            init_params = jax.device_put(init_params, repl)
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                in_shardings=(repl, repl, batch_sh, batch_sh),
+                out_shardings=(repl, repl, repl, repl),
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
         self.params = init_params
         self.opt_state = self.tx.init(init_params)
         self.step = 0
-        self._train_step = jax.jit(self._train_step_impl)
 
     def _train_step_impl(self, params, opt_state, left, right):
         def loss_fn(p):
@@ -173,6 +194,11 @@ class MonodepthTrainer:
         return params, opt_state, loss, aux
 
     def train_batch(self, left, right):
+        if self.mesh is not None and left.shape[0] % self.mesh.size:
+            raise ValueError(
+                f"batch size {left.shape[0]} must be a multiple of the "
+                f"mesh's device count {self.mesh.size}"
+            )
         self.params, self.opt_state, loss, aux = self._train_step(
             self.params, self.opt_state, left, right
         )

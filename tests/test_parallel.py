@@ -189,3 +189,38 @@ def test_fcn_trainer_mesh_mode_matches_single_device():
     bad = TrainConfig(learning_rate=1e-3, batch_size=3, image_shape=(32, 64))
     with pytest.raises(ValueError, match="multiple"):
         FCNTrainer(bad, model=model, mesh=mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_monodepth_trainer_mesh_mode_matches_single_device():
+    """MonodepthTrainer(mesh=...): stereo batch dp over all 8 devices —
+    the TPU-native average_gradients.py analog — must match the
+    single-device step numerically."""
+    from semantic_depth_tpu.models import Monodepth
+    from semantic_depth_tpu.train.monodepth_trainer import (
+        MonodepthTrainConfig,
+        MonodepthTrainer,
+    )
+
+    cfg = MonodepthTrainConfig(learning_rate=1e-4)
+    model = Monodepth(encoder="vgg", width_mult=0.0625)
+    mesh = make_mesh(8)
+
+    plain = MonodepthTrainer(cfg, model=model, input_hw=(128, 256),
+                             rng=jax.random.PRNGKey(3))
+    sharded = MonodepthTrainer(cfg, model=model, input_hw=(128, 256),
+                               rng=jax.random.PRNGKey(3), mesh=mesh)
+
+    rng = np.random.default_rng(2)
+    left = jnp.asarray(rng.uniform(0, 1, (8, 128, 256, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 1, (8, 128, 256, 3)), jnp.float32)
+
+    for _ in range(2):
+        m_plain = plain.train_batch(left, right)
+        m_shard = sharded.train_batch(left, right)
+    assert np.isfinite(m_shard["loss"])
+    assert m_shard["loss"] == pytest.approx(m_plain["loss"], rel=1e-4)
+    assert sharded.step == 2
+
+    with pytest.raises(ValueError, match="multiple"):
+        sharded.train_batch(left[:3], right[:3])

@@ -74,6 +74,11 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=512)
+    p.add_argument("--width_mult", type=float, default=1.0,
+                   help="channel width multiplier (tiny smoke runs)")
+    p.add_argument("--mesh", action="store_true",
+                   help="dp-shard the stereo batch over all local devices "
+                        "(the average_gradients.py tower analog)")
     args = p.parse_args()
 
     from semantic_depth_tpu.runtime import setup_cache
@@ -91,8 +96,19 @@ def main():
     pairs = [make_pair(rng, h, w, slope=rng.uniform(0.08, 0.2)) for _ in range(24)]
     held_l, held_r, held_d = make_pair(rng, h, w, slope=0.15)
 
+    mesh = None
+    if args.mesh:
+        from semantic_depth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    model = None
+    if args.width_mult != 1.0:
+        from semantic_depth_tpu.models import Monodepth
+
+        model = Monodepth(encoder="vgg", width_mult=args.width_mult)
     trainer = MonodepthTrainer(
-        MonodepthTrainConfig(learning_rate=1e-4), input_hw=(h, w)
+        MonodepthTrainConfig(learning_rate=1e-4), model=model, input_hw=(h, w),
+        mesh=mesh,
     )
     t0 = time.time()
     for step in range(args.steps):
