@@ -62,8 +62,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--is_city", action="store_true")
     p.add_argument("--results_dir", default="results")
-    # accepted for reference CLI compatibility; no-ops on TPU
-    p.add_argument("--use_frozen", action="store_true", help="(compat no-op)")
+    # reference CLI compatibility; --use_frozen now takes the TPU-native
+    # frozen artifact (a StableHLO export) — bare flag stays a no-op since
+    # the fused jit program IS the optimized graph here
+    p.add_argument("--use_frozen", nargs="?", const=None, default=None,
+                   metavar="PATH",
+                   help="serve from a StableHLO export produced by "
+                        "cli.export_pipeline (the optimized_graph.pb "
+                        "equivalent); needs a --full_outputs export for "
+                        "--save_data. Bare flag: no-op (compat)")
     p.add_argument("--use_xla", action="store_true", help="(compat no-op: always XLA)")
     p.add_argument("--CUDA_DEVICE_NUMBER", default="0", help="(compat no-op)")
     p.add_argument("--profile_stages", action="store_true",
@@ -100,6 +107,42 @@ def make_config(args):
     return cfg
 
 
+class _FrozenPipeline:
+    """Serves frames from a StableHLO export (cli.export_pipeline) — the
+    reference's ``--use_frozen optimized_graph.pb`` path
+    (semantic_depth.py:472-513), with the whole fused program (not just the
+    segmenter) in the artifact. Weights are baked in; no model code runs."""
+
+    def __init__(self, path: str, cfg):
+        from ..export import load_pipeline
+
+        self._call = load_pipeline(path)
+        self._path = path
+        self.config = cfg
+
+    def process_frame(self, frame, focal=None, disparity_mult=None):
+        import jax.numpy as jnp
+
+        cfg = self.config
+        if focal is None:
+            focal = cfg.camera.focal
+        if disparity_mult is None:
+            disparity_mult = (
+                cfg.disparity_multiplier
+                if cfg.disparity_multiplier is not None
+                else float(frame.shape[1])
+            )
+        out = self._call(
+            jnp.asarray(frame, jnp.float32), jnp.float32(focal),
+            jnp.float32(disparity_mult),
+        )
+        if isinstance(out, (tuple, list)):  # scalars-only export surface
+            from types import SimpleNamespace
+
+            return SimpleNamespace(dist_rw=out[0], dist_f2f=out[1], rw_found=out[2])
+        return out
+
+
 def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
     """Run one frame; write times/distances and optionally the artifact suite.
     Returns (dist_rw, dist_f2f)."""
@@ -126,6 +169,12 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
             print("Distance from fence to fence:", dist_f2f)
 
     if args.save_data:
+        if not hasattr(out, "overlay_small"):
+            raise SystemExit(
+                "--save_data needs dense outputs; this frozen artifact was "
+                "exported scalars-only — re-export with "
+                "cli.export_pipeline --full_outputs"
+            )
         common.save_frame_artifacts(out, cfg, output_name, frame, args.is_city)
 
     t_global = time.time() - tic_global
@@ -198,10 +247,18 @@ def main(argv=None):
     setup_cache()
     args = build_arg_parser().parse_args(argv)
     cfg = make_config(args)
-    pipe = common.build_pipeline(
-        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny,
-        native_s2d=args.native_s2d,
-    )
+    if args.use_frozen:
+        if args.profile_stages:
+            raise SystemExit(
+                "--profile_stages needs the live pipeline; the frozen "
+                "artifact is one opaque program"
+            )
+        pipe = _FrozenPipeline(args.use_frozen, cfg)
+    else:
+        pipe = common.build_pipeline(
+            cfg, args.semantic_model, args.monodepth_checkpoint,
+            tiny=args.dev_tiny, native_s2d=args.native_s2d,
+        )
 
     if args.input_frame:
         print("##########################################################")

@@ -17,6 +17,37 @@ import jax.numpy as jnp
 from .pipeline import SemanticDepthPipeline
 
 
+_SERIALIZATION_REGISTERED = False
+
+
+def _register_output_serialization() -> None:
+    """Register FrameOutputs / MaskedCloud (flax struct dataclasses — empty
+    static auxdata) with jax.export so full-output artifacts serialize. Safe
+    to call repeatedly."""
+    global _SERIALIZATION_REGISTERED
+    if _SERIALIZATION_REGISTERED:
+        return
+    from jax import export as jx
+
+    from .ops.pcl import MaskedCloud
+    from .pipeline import FrameOutputs
+
+    for cls, name in (
+        (MaskedCloud, "semantic_depth_tpu.MaskedCloud"),
+        (FrameOutputs, "semantic_depth_tpu.FrameOutputs"),
+    ):
+        try:
+            jx.register_pytree_node_serialization(
+                cls,
+                serialized_name=name,
+                serialize_auxdata=lambda aux: b"",
+                deserialize_auxdata=lambda b: (),
+            )
+        except ValueError:
+            pass  # already registered (e.g. by a parallel test session)
+    _SERIALIZATION_REGISTERED = True
+
+
 def export_pipeline(
     pipe: SemanticDepthPipeline,
     path: str,
@@ -32,6 +63,8 @@ def export_pipeline(
     """
     from jax import export as jx
 
+    if not scalars_only:
+        _register_output_serialization()
     fcn_p, mono_p = pipe.fcn_params, pipe.mono_params
     impl = pipe._process_batch_impl if batched else pipe._process_impl
 
@@ -56,6 +89,7 @@ def load_pipeline(path: str) -> Callable:
     """Load an exported pipeline; returns call(frame, focal, disparity_mult)."""
     from jax import export as jx
 
+    _register_output_serialization()  # full-output blobs need the types back
     with open(path, "rb") as f:
         exported = jx.deserialize(f.read())
     return exported.call

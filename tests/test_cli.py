@@ -111,6 +111,56 @@ def test_sequence_cli_native_s2d(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
 
 
+def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
+    """cli.export_pipeline -> semantic_depth --use_frozen round trip: the
+    optimized_graph.pb workflow (semantic_depth.py:472-513) with StableHLO.
+    Scalars-only blobs serve distances; --full_outputs blobs also feed the
+    artifact suite; scalars-only + --save_data fails with a usable error."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    frame = tmp_path / "f.png"
+    Image.fromarray(rng.integers(0, 256, (96, 192, 3)).astype(np.uint8)).save(frame)
+
+    from semantic_depth_tpu.cli import export_pipeline as exp_cli
+    from semantic_depth_tpu.cli import semantic_depth as sd_cli
+
+    blob = str(tmp_path / "tiny.shlo")
+    exp_cli.main([
+        "--semantic_model", "random", "--monodepth_checkpoint", "random",
+        "--input_height", "128", "--input_width", "256",
+        "--frame_height", "96", "--frame_width", "192",
+        "--output", blob, "--dev_tiny", "--approach", "rw",
+    ])
+    sd_cli.main([
+        "--input_frame", str(frame), "--use_frozen", blob,
+        "--input_height", "128", "--input_width", "256", "--approach", "rw",
+        "--results_dir", str(tmp_path / "r1"),
+    ])
+    assert (tmp_path / "r1" / "f" / "f_output_distances.txt").exists()
+
+    with pytest.raises(SystemExit, match="full_outputs"):
+        sd_cli.main([
+            "--input_frame", str(frame), "--use_frozen", blob,
+            "--input_height", "128", "--input_width", "256", "--approach", "rw",
+            "--save_data", "--results_dir", str(tmp_path / "r2"),
+        ])
+
+    full = str(tmp_path / "tiny_full.shlo")
+    exp_cli.main([
+        "--semantic_model", "random", "--monodepth_checkpoint", "random",
+        "--input_height", "128", "--input_width", "256",
+        "--frame_height", "96", "--frame_width", "192",
+        "--output", full, "--dev_tiny", "--approach", "rw", "--full_outputs",
+    ])
+    sd_cli.main([
+        "--input_frame", str(frame), "--use_frozen", full,
+        "--input_height", "128", "--input_width", "256", "--approach", "rw",
+        "--save_data", "--results_dir", str(tmp_path / "r3"),
+    ])
+    arts = list((tmp_path / "r3" / "f").iterdir())
+    assert len(arts) >= 10  # full artifact suite from the frozen program
+
+
 def test_monodepth_encoder_flag_reaches_config():
     """--monodepth_encoder must actually select the encoder (reference flag
     semantic_depth.py:721-722) — it was once parsed but silently ignored."""
