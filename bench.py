@@ -338,8 +338,9 @@ def main():
     # The DENSE path (unmodified reference architecture at 1024x2048),
     # reported for transparency next to the native number.
     full_res_dense_fps = None
+    fr_dense_mode = None
     try:
-        full_res_dense_fps, _, _, _, _ = full_res_leg(
+        full_res_dense_fps, _, _, _, fr_dense_mode = full_res_leg(
             fcn, mono, native=False,
             fr_batch=FULL_RES_BATCH, n_frames=FULL_RES_BATCH, trials=1,
         )
@@ -385,6 +386,7 @@ def main():
             out["full_res_f2f_mae_m"] = round(fr_f2f_mae, 4)
     if full_res_dense_fps is not None:
         out["full_res_dense_fps"] = round(full_res_dense_fps, 3)
+        out["full_res_dense_weights"] = fr_dense_mode
     print(json.dumps(out))
 
 

@@ -296,6 +296,18 @@ def load_mono_params(model: Monodepth, path: str, input_hw: Tuple[int, int]):
     return weights_lib.as_jax_params(template, converted)
 
 
+def apply_encoder_override(cfg: PipelineConfig, encoder: str) -> PipelineConfig:
+    """Apply a --monodepth_encoder value (vgg|resnet50, reference flag
+    semantic_depth.py:721-722) to the config."""
+    if encoder not in ("vgg", "resnet50"):
+        raise ValueError(f"unknown monodepth encoder: {encoder!r}")
+    if encoder == cfg.monodepth.encoder:
+        return cfg
+    return dataclasses.replace(
+        cfg, monodepth=dataclasses.replace(cfg.monodepth, encoder=encoder)
+    )
+
+
 def build_pipeline(
     cfg: PipelineConfig, semantic_model: str, monodepth_checkpoint: str,
     tiny: bool = False, native_s2d: bool = False,

@@ -94,14 +94,7 @@ def make_config(args):
         approach=args.approach,
         depth=args.depth,
     )
-    if args.monodepth_encoder != cfg.monodepth.encoder:
-        # --monodepth_encoder selects vgg|resnet50 (semantic_depth.py:721-722)
-        cfg = dataclasses.replace(
-            cfg,
-            monodepth=dataclasses.replace(
-                cfg.monodepth, encoder=args.monodepth_encoder
-            ),
-        )
+    cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
     if args.f is not None:
         cfg = dataclasses.replace(cfg, camera=cfg.camera.with_focal(args.f))
     return cfg
@@ -123,15 +116,11 @@ class _FrozenPipeline:
     def process_frame(self, frame, focal=None, disparity_mult=None):
         import jax.numpy as jnp
 
-        cfg = self.config
-        if focal is None:
-            focal = cfg.camera.focal
-        if disparity_mult is None:
-            disparity_mult = (
-                cfg.disparity_multiplier
-                if cfg.disparity_multiplier is not None
-                else float(frame.shape[1])
-            )
+        from ..pipeline import resolve_frame_scalars
+
+        focal, disparity_mult = resolve_frame_scalars(
+            self.config, frame.shape[1], focal, disparity_mult
+        )
         out = self._call(
             jnp.asarray(frame, jnp.float32), jnp.float32(focal),
             jnp.float32(disparity_mult),

@@ -93,16 +93,7 @@ def main(argv=None):
         approach=args.approach,
         depth=args.depth,
     )
-    if args.monodepth_encoder != cfg.monodepth.encoder:
-        import dataclasses
-
-        # --monodepth_encoder selects vgg|resnet50 (semantic_depth.py:721-722)
-        cfg = dataclasses.replace(
-            cfg,
-            monodepth=dataclasses.replace(
-                cfg.monodepth, encoder=args.monodepth_encoder
-            ),
-        )
+    cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
     pipe = common.build_pipeline(
         cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny,
         native_s2d=args.native_s2d,

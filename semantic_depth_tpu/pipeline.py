@@ -184,6 +184,23 @@ def _scaled_camera(cfg: PipelineConfig, focal):
     return cam, s_w
 
 
+def resolve_frame_scalars(cfg: PipelineConfig, frame_width: int, focal, disparity_mult):
+    """Default the per-frame scalar inputs: focal from the config camera;
+    disparity multiplier from the config or the ORIGINAL frame width
+    (semantic_depth.py:109,145). One definition for the live pipeline (all
+    three entry methods) AND frozen serving (cli.semantic_depth
+    _FrozenPipeline) so the two paths cannot drift."""
+    if focal is None:
+        focal = cfg.camera.focal
+    if disparity_mult is None:
+        disparity_mult = (
+            cfg.disparity_multiplier
+            if cfg.disparity_multiplier is not None
+            else float(frame_width)
+        )
+    return focal, disparity_mult
+
+
 class SemanticDepthPipeline:
     """Builds and owns the jitted frame program.
 
@@ -404,15 +421,9 @@ class SemanticDepthPipeline:
     ) -> FrameOutputs:
         """Batched process: frames (B, H0, W0, 3) -> FrameOutputs with a
         leading batch axis on every leaf."""
-        cfg = self.config
-        if focal is None:
-            focal = cfg.camera.focal
-        if disparity_mult is None:
-            disparity_mult = (
-                cfg.disparity_multiplier
-                if cfg.disparity_multiplier is not None
-                else float(frames.shape[2])
-            )
+        focal, disparity_mult = resolve_frame_scalars(
+            self.config, frames.shape[2], focal, disparity_mult
+        )
         frames = jnp.asarray(frames)
         return self._process_batch(
             self.fcn_params, self.mono_params, frames,
@@ -440,14 +451,9 @@ class SemanticDepthPipeline:
 
         cfg = self.config
         h, w = cfg.input_height, cfg.input_width
-        if focal is None:
-            focal = cfg.camera.focal
-        if disparity_mult is None:
-            disparity_mult = (
-                cfg.disparity_multiplier
-                if cfg.disparity_multiplier is not None
-                else float(frame.shape[1])
-            )
+        focal, disparity_mult = resolve_frame_scalars(
+            cfg, frame.shape[1], focal, disparity_mult
+        )
         if not hasattr(self, "_stages"):
             self._build_stages()
         S = self._stages
@@ -589,15 +595,9 @@ class SemanticDepthPipeline:
         disparity_mult: overrides config; defaults to the original frame
           width as in semantic_depth.py:109.
         """
-        cfg = self.config
-        if focal is None:
-            focal = cfg.camera.focal
-        if disparity_mult is None:
-            disparity_mult = (
-                cfg.disparity_multiplier
-                if cfg.disparity_multiplier is not None
-                else float(frame.shape[1])
-            )
+        focal, disparity_mult = resolve_frame_scalars(
+            self.config, frame.shape[1], focal, disparity_mult
+        )
         frame = jnp.asarray(frame)
         return self._process(
             self.fcn_params, self.mono_params, frame,

@@ -61,7 +61,9 @@ class FCNTrainer:
         """mesh: optional jax.sharding.Mesh with ('dp', 'tp') axes
         (parallel.mesh.make_mesh). When given, the train step runs sharded —
         batches split over 'dp', fc6/fc7 Megatron-split over 'tp'
-        (parallel.train_step) — and batch_size must divide by the dp size."""
+        (parallel.train_step). Each TRAIN batch must divide by the dp size
+        (train_batch raises otherwise; fit() drops the ragged final batch);
+        eval and test paths are unaffected."""
         self.config = config
         self.model = model or FCN8s(
             num_classes=config.num_classes, dropout_keep_prob=config.dropout
@@ -76,7 +78,7 @@ class FCNTrainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._install_params(init_params)
 
-    def _install_params(self, params) -> None:
+    def _install_params(self, params, step: int = 0) -> None:
         """(Re)build state + the jitted train step for ``params`` — sharded
         over self.mesh when one was given, single-device otherwise."""
         if self.mesh is not None:
@@ -85,12 +87,6 @@ class FCNTrainer:
                 shard_fcn_params,
             )
 
-            dp = self.mesh.shape["dp"]
-            if self.config.batch_size % dp:
-                raise ValueError(
-                    f"batch_size {self.config.batch_size} must be a multiple "
-                    f"of the mesh's dp size {dp}"
-                )
             params = shard_fcn_params(self.mesh, params)
             opt_state = self.tx.init(params)  # moments inherit param shardings
             self._train_step = make_sharded_train_step(
@@ -100,7 +96,7 @@ class FCNTrainer:
         else:
             opt_state = self.tx.init(params)
             self._train_step = jax.jit(self._train_step_impl)
-        self.state = TrainState(params=params, opt_state=opt_state)
+        self.state = TrainState(params=params, opt_state=opt_state, step=step)
 
     # -- jitted steps ------------------------------------------------------
     def _loss_fn(self, params, images, labels, dropout_rng):
@@ -139,6 +135,14 @@ class FCNTrainer:
 
     # -- public API --------------------------------------------------------
     def train_batch(self, images, labels) -> Dict[str, float]:
+        if self.mesh is not None and images.shape[0] % self.mesh.shape["dp"]:
+            # The sharded step's in_shardings pin the batch axis to P('dp');
+            # a non-divisible batch would die inside jit with a shape error.
+            raise ValueError(
+                f"batch of {images.shape[0]} cannot be split over dp="
+                f"{self.mesh.shape['dp']}; feed batches divisible by dp "
+                f"(fit() drops the ragged final batch in mesh mode)"
+            )
         self.rng, dropout_rng = jax.random.split(self.rng)
         params, opt_state, loss, cm = self._train_step(
             self.state.params, self.state.opt_state, images, labels, dropout_rng
@@ -169,13 +173,28 @@ class FCNTrainer:
             t0 = time.time()
             losses, cms = [], []
             n_train = -(-dataset.num_images("train") // cfg.batch_size)
+            dropped_ragged = False
             for images, labels in tqdm(
                 dataset.batches(cfg.batch_size, mode="train"),
                 desc=f"Epoch {epoch}: Train Batch", total=n_train, disable=not verbose,
             ):
+                if (
+                    self.mesh is not None
+                    and images.shape[0] % self.mesh.shape["dp"]
+                ):
+                    # dataset size isn't a multiple of batch_size: the short
+                    # final batch can't split over dp — drop it (standard
+                    # drop-remainder semantics for data-parallel training)
+                    dropped_ragged = True
+                    continue
                 m = self.train_batch(images, labels)
                 losses.append(m["loss"])
                 cms.append(m["cm"])
+            if dropped_ragged and verbose and epoch == 1:
+                print(
+                    "mesh mode: dropping the ragged final batch each epoch "
+                    f"(dataset size not a multiple of batch_size={cfg.batch_size})"
+                )
             train_loss = float(np.mean(losses)) if losses else float("nan")
             train_iou = float(mean_iou_from_cm(jnp.asarray(np.sum(cms, axis=0)))) if cms else 0.0
 
@@ -246,12 +265,7 @@ class FCNTrainer:
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, {"params": self.state.params, "step": 0})
-        self._install_params(restored["params"])
-        self.state = TrainState(
-            params=self.state.params,
-            opt_state=self.state.opt_state,
-            step=int(restored["step"]),
-        )
+        self._install_params(restored["params"], step=int(restored["step"]))
 
 
 def write_metric_logs(log_dir, model_name, metric_type, train_vals, val_vals, epochs):

@@ -185,10 +185,14 @@ def test_fcn_trainer_mesh_mode_matches_single_device():
     m2 = sharded.train_batch(images, labels)
     assert np.isfinite(m2["loss"])
 
-    # batch sizes that don't divide dp are rejected with a usable error
-    bad = TrainConfig(learning_rate=1e-3, batch_size=3, image_shape=(32, 64))
-    with pytest.raises(ValueError, match="multiple"):
-        FCNTrainer(bad, model=model, mesh=mesh)
+    # ragged batches are rejected with a usable error at the call (a dataset
+    # whose size isn't a multiple of batch_size yields one each epoch — fit()
+    # drops them; construction itself must NOT raise, --mode test uses the
+    # trainer with batch_size 1)
+    with pytest.raises(ValueError, match="split over dp"):
+        sharded.train_batch(images[:3], labels[:3])
+    FCNTrainer(TrainConfig(learning_rate=1e-3, batch_size=1, image_shape=(32, 64)),
+               model=model, mesh=mesh)  # test-mode construction works
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
