@@ -34,6 +34,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(StableHLO is shape-specialized, like the "
                         "reference's frozen graph)")
     p.add_argument("--frame_width", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=0,
+                   help="export the BATCHED program for (batch, H, W, 3) "
+                        "inputs (the streamed-sequence serving shape); "
+                        "0 = single-frame")
     p.add_argument("--approach", type=str, default="both", choices=["rw", "both"])
     p.add_argument("--depth", type=float, default=10.0)
     p.add_argument("--is_city", action="store_true")
@@ -67,9 +71,14 @@ def main(argv=None):
         cfg, args.semantic_model, args.monodepth_checkpoint,
         tiny=args.dev_tiny, native_s2d=args.native_s2d,
     )
+    if args.batch:
+        frame_shape = (args.batch, args.frame_height, args.frame_width, 3)
+    else:
+        frame_shape = (args.frame_height, args.frame_width, 3)
     path = export_pipeline(
         pipe, args.output,
-        frame_shape=(args.frame_height, args.frame_width, 3),
+        frame_shape=frame_shape,
+        batched=bool(args.batch),
         scalars_only=not args.full_outputs,
     )
     print(f"Exported: {path}")

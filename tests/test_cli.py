@@ -160,6 +160,23 @@ def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
     arts = list((tmp_path / "r3" / "f").iterdir())
     assert len(arts) >= 10  # full artifact suite from the frozen program
 
+    # batched export: the streamed-sequence serving shape
+    from semantic_depth_tpu.export import load_pipeline
+
+    b2 = str(tmp_path / "tiny_b2.shlo")
+    exp_cli.main([
+        "--semantic_model", "random", "--monodepth_checkpoint", "random",
+        "--input_height", "128", "--input_width", "256",
+        "--frame_height", "96", "--frame_width", "192", "--batch", "2",
+        "--output", b2, "--dev_tiny", "--approach", "rw",
+    ])
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (2, 96, 192, 3)).astype(np.float32))
+    out = load_pipeline(b2)(frames, jnp.float32(380.0), jnp.float32(192.0))
+    assert np.asarray(out[0]).shape == (2,)  # per-frame scalars
+
 
 def test_monodepth_encoder_flag_reaches_config():
     """--monodepth_encoder must actually select the encoder (reference flag
