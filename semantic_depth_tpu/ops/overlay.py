@@ -26,6 +26,10 @@ def _paste(frame: jnp.ndarray, mask: jnp.ndarray, rgba: Tuple[int, int, int, int
     color = jnp.asarray(rgba[:3], jnp.float32)
     alpha = jnp.float32(rgba[3]) / 255.0
     blended = frame * (1.0 - alpha) + color[None, None, :] * alpha
+    # PIL materializes uint8 after EVERY paste, so the second paste reads
+    # integers; rounding only once at the end drifts 1 LSB exactly on the
+    # road∧fence overlap pixels where the paste-order quirk matters.
+    blended = jnp.clip(jnp.round(blended), 0.0, 255.0)
     out = jnp.where(mask[:, :, None], blended, frame)
     return out
 
@@ -38,11 +42,11 @@ def segmentation_overlay(
     fence_rgba: Tuple[int, int, int, int],
 ) -> jnp.ndarray:
     """frame: (H, W, 3) float 0..255; masks: (H, W) bool. Returns f32 0..255
-    rounded to integers like PIL's uint8 math."""
-    out = frame.astype(jnp.float32)
+    rounded to integers after each paste, like PIL's uint8 math."""
+    out = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0.0, 255.0)
     out = _paste(out, road_mask, road_rgba)
     out = _paste(out, fence_mask, fence_rgba)
-    return jnp.clip(jnp.round(out), 0.0, 255.0)
+    return out
 
 
 def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -191,10 +191,15 @@ def radius_counts_pallas(
         jnp.max(jnp.where(vb, zc, -jnp.inf), axis=1) + zthr,
     ])  # (2, n_blocks)
 
-    # Queries: invalid rows take the first point's coords (not zeros) so a
-    # partially-valid tile's z-range is not inflated toward 0; any fill from
-    # a real point keeps the skip test conservative-exact.
-    q_xyz = jnp.where(valid[:, None], xyz, xyz[0]).astype(jnp.float32)
+    # Queries: invalid rows take the first VALID point's coords (not zeros,
+    # which would inflate a partially-valid tile's z-range toward 0; not
+    # xyz[0], whose row may be invalid garbage — a NaN there would poison
+    # the tile z-min/max and silently skip every candidate block for the
+    # whole tile, zeroing counts for VALID queries too). Any fill from a
+    # real valid point keeps the skip test conservative-exact. With zero
+    # valid rows argmax gives row 0; every output is masked then anyway.
+    fill = xyz[jnp.argmax(valid)]
+    q_xyz = jnp.where(valid[:, None], xyz, fill).astype(jnp.float32)
 
     kernel = functools.partial(
         _radius_kernel, cb=cb, c_total=c_total, r2=float(radius) ** 2

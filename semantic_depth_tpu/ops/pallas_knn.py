@@ -33,19 +33,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel(points_ref, valid_ref, out_ref, *, k: int, wh: int, ww: int,
-                tile_h: int, w: int):
-    i = pl.program_id(0)
+def _knn_tile_body(px, py, pz, vv, *, k: int, wh: int, ww: int, tile_h: int,
+                   w: int):
+    """Shared stencil + bubble-insert body. Given one halo slab —
+    (tile_h + wh - 1) rows of x/y/z planes and the validity plane — returns
+    the (tile_h, w) mean kNN distance tile (+inf where the center pixel is
+    invalid). The three kernels below share this exactly and differ ONLY in
+    how the slab reaches VMEM (resident slice / per-tile DMA / batched
+    per-tile DMA); any algorithm change lands in all of them at once."""
     ph, pw = wh // 2, ww // 2
-    row0 = i * tile_h  # top of this tile in padded coordinates
-
-    # Halo slab for this tile: (tile_h + wh - 1) rows, full padded width.
-    slab_h = tile_h + wh - 1
-    px = points_ref[0, pl.ds(row0, slab_h), :]
-    py = points_ref[1, pl.ds(row0, slab_h), :]
-    pz = points_ref[2, pl.ds(row0, slab_h), :]
-    vv = valid_ref[pl.ds(row0, slab_h), :]
-
     cx = px[ph : ph + tile_h, pw : pw + w]
     cy = py[ph : ph + tile_h, pw : pw + w]
     cz = pz[ph : ph + tile_h, pw : pw + w]
@@ -72,8 +68,22 @@ def _knn_kernel(points_ref, valid_ref, out_ref, *, k: int, wh: int, ww: int,
     acc = jnp.zeros((tile_h, w), jnp.float32)
     for j in range(k):
         acc = acc + jnp.sqrt(buf[j])
-    mean_d = acc / jnp.float32(k)
-    out_ref[:] = jnp.where(cv > 0, mean_d, inf)
+    return jnp.where(cv > 0, acc / jnp.float32(k), inf)
+
+
+def _knn_kernel(points_ref, valid_ref, out_ref, *, k: int, wh: int, ww: int,
+                tile_h: int, w: int):
+    i = pl.program_id(0)
+    row0 = i * tile_h  # top of this tile in padded coordinates
+
+    # Halo slab for this tile: (tile_h + wh - 1) rows, full padded width.
+    slab_h = tile_h + wh - 1
+    px = points_ref[0, pl.ds(row0, slab_h), :]
+    py = points_ref[1, pl.ds(row0, slab_h), :]
+    pz = points_ref[2, pl.ds(row0, slab_h), :]
+    vv = valid_ref[pl.ds(row0, slab_h), :]
+    out_ref[:] = _knn_tile_body(px, py, pz, vv, k=k, wh=wh, ww=ww,
+                                tile_h=tile_h, w=w)
 
 
 def _knn_kernel_hbm(points_ref, valid_ref, out_ref, pts_vmem, val_vmem, sems, *,
@@ -96,33 +106,10 @@ def _knn_kernel_hbm(points_ref, valid_ref, out_ref, pts_vmem, val_vmem, sems, *,
     cp_pts.wait()
     cp_val.wait()
 
-    ph, pw = wh // 2, ww // 2
-    px, py, pz = pts_vmem[0], pts_vmem[1], pts_vmem[2]
-    vv = val_vmem[:]
-    cx = px[ph : ph + tile_h, pw : pw + w]
-    cy = py[ph : ph + tile_h, pw : pw + w]
-    cz = pz[ph : ph + tile_h, pw : pw + w]
-    cv = vv[ph : ph + tile_h, pw : pw + w]
-
-    inf = jnp.float32(jnp.inf)
-    buf = [jnp.full((tile_h, w), inf, jnp.float32) for _ in range(k)]
-    for dy in range(wh):
-        for dx in range(ww):
-            sx = px[dy : dy + tile_h, dx : dx + w]
-            sy = py[dy : dy + tile_h, dx : dx + w]
-            sz = pz[dy : dy + tile_h, dx : dx + w]
-            sv = vv[dy : dy + tile_h, dx : dx + w]
-            d2 = (cx - sx) ** 2 + (cy - sy) ** 2 + (cz - sz) ** 2
-            cand = jnp.where(sv > 0, d2, inf)
-            for j in range(k):
-                lo = jnp.minimum(buf[j], cand)
-                hi = jnp.maximum(buf[j], cand)
-                buf[j] = lo
-                cand = hi
-    acc = jnp.zeros((tile_h, w), jnp.float32)
-    for j in range(k):
-        acc = acc + jnp.sqrt(buf[j])
-    out_ref[:] = jnp.where(cv > 0, acc / jnp.float32(k), inf)
+    out_ref[:] = _knn_tile_body(
+        pts_vmem[0], pts_vmem[1], pts_vmem[2], val_vmem[:],
+        k=k, wh=wh, ww=ww, tile_h=tile_h, w=w,
+    )
 
 
 def _knn_kernel_hbm_batched(points_ref, valid_ref, out_ref, pts_vmem, val_vmem,
@@ -146,33 +133,10 @@ def _knn_kernel_hbm_batched(points_ref, valid_ref, out_ref, pts_vmem, val_vmem,
     cp_pts.wait()
     cp_val.wait()
 
-    ph, pw = wh // 2, ww // 2
-    px, py, pz = pts_vmem[0], pts_vmem[1], pts_vmem[2]
-    vv = val_vmem[:]
-    cx = px[ph : ph + tile_h, pw : pw + w]
-    cy = py[ph : ph + tile_h, pw : pw + w]
-    cz = pz[ph : ph + tile_h, pw : pw + w]
-    cv = vv[ph : ph + tile_h, pw : pw + w]
-
-    inf = jnp.float32(jnp.inf)
-    buf = [jnp.full((tile_h, w), inf, jnp.float32) for _ in range(k)]
-    for dy in range(wh):
-        for dx in range(ww):
-            sx = px[dy : dy + tile_h, dx : dx + w]
-            sy = py[dy : dy + tile_h, dx : dx + w]
-            sz = pz[dy : dy + tile_h, dx : dx + w]
-            sv = vv[dy : dy + tile_h, dx : dx + w]
-            d2 = (cx - sx) ** 2 + (cy - sy) ** 2 + (cz - sz) ** 2
-            cand = jnp.where(sv > 0, d2, inf)
-            for j in range(k):
-                lo = jnp.minimum(buf[j], cand)
-                hi = jnp.maximum(buf[j], cand)
-                buf[j] = lo
-                cand = hi
-    acc = jnp.zeros((tile_h, w), jnp.float32)
-    for j in range(k):
-        acc = acc + jnp.sqrt(buf[j])
-    out_ref[0] = jnp.where(cv > 0, acc / jnp.float32(k), inf)
+    out_ref[0] = _knn_tile_body(
+        pts_vmem[0], pts_vmem[1], pts_vmem[2], val_vmem[:],
+        k=k, wh=wh, ww=ww, tile_h=tile_h, w=w,
+    )
 
 
 # Budget for keeping the padded planes fully VMEM-resident (bytes). Above

@@ -146,24 +146,19 @@ def masked_kth_smallest(values: jnp.ndarray, valid: jnp.ndarray, k: jnp.ndarray)
     """Exact k-th smallest (0-based) valid element WITHOUT sorting: 32-step
     binary search over the ordered-uint32 bit space, each step one masked
     count — O(32 N) VPU work vs the O(N log^2 N) bitonic sort, and it
-    vectorizes over batch. Returns the two order statistics (k, k2) used by
-    the median in one fused search pair."""
+    vectorizes over batch. Returns that single statistic (the median's
+    paired k/k2 search lives in _masked_median_radix)."""
     u = _f32_to_ordered_u32(values)
 
-    def select(kk):
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = lo + (hi - lo) // 2
-            c = jnp.sum(((u <= mid) & valid).astype(jnp.int32))
-            take_left = c >= kk + 1
-            return jnp.where(take_left, lo, mid + 1), jnp.where(take_left, mid, hi)
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        c = jnp.sum(((u <= mid) & valid).astype(jnp.int32))
+        take_left = c >= k + 1
+        return jnp.where(take_left, lo, mid + 1), jnp.where(take_left, mid, hi)
 
-        lo, hi = jax.lax.fori_loop(
-            0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
-        )
-        return _ordered_u32_to_f32(lo)
-
-    return select(k)
+    lo, _ = jax.lax.fori_loop(0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF)))
+    return _ordered_u32_to_f32(lo)
 
 
 def _masked_median_radix(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

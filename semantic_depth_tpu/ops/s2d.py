@@ -55,6 +55,11 @@ def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     a sub-lane shuffle measured at ~12 GB/s effective on v5e (8.6 ms for a
     50 MB frame — 30x off memory bound)."""
     b, h, w, c = x.shape
+    if h % r or w % r:
+        # the TPU conv path (VALID stride-r) would silently TRUNCATE the
+        # trailing rows/cols while the reshape path raises — fail the same
+        # way on every backend
+        raise ValueError(f"space_to_depth needs H, W % {r} == 0, got {h}x{w}")
     if jax.default_backend() == "tpu" and jnp.issubdtype(x.dtype, jnp.floating):
         return _space_to_depth_conv(x, r)
     x = x.reshape(b, h // r, r, w // r, r, c)
@@ -76,6 +81,8 @@ def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     lowering is ~30x off memory bound."""
     b, hc, wc, cc = x.shape
     c = cc // (r * r)
+    if cc % (r * r):
+        raise ValueError(f"depth_to_space needs channels % {r * r} == 0, got {cc}")
     if jax.default_backend() == "tpu" and jnp.issubdtype(x.dtype, jnp.floating):
         return _depth_to_space_conv(x, r)
     x = x.reshape(b, hc, wc, r, r, c)

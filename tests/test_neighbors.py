@@ -111,6 +111,34 @@ def test_radius_counts_pallas_matches_xla_path():
     np.testing.assert_array_equal(got_b[0], want)
 
 
+def test_radius_counts_pallas_nan_garbage_row0():
+    """Invalid rows are 'inert garbage' (MaskedCloud doc) — including row 0
+    and including NaN (from_dense back-projections genuinely produce
+    non-finite garbage at masked pixels). The query fill must come from a
+    VALID row: a NaN fill would poison the per-tile z-range and the
+    block-skip test would silently zero counts for the tile's VALID
+    queries too."""
+    import jax.numpy as jnp
+
+    from semantic_depth_tpu.ops.pallas_exact_knn import radius_counts_pallas
+
+    cloud, pts = make_cloud(n=300, capacity=512)
+    # rotate validity so rows 0..9 are invalid, and poison them with NaN
+    xyz = np.roll(np.asarray(cloud.xyz), 10, axis=0)
+    valid = np.roll(np.asarray(cloud.valid), 10)
+    xyz[:10] = np.nan
+    shifted = pcl.MaskedCloud(xyz=xyz, rgb=np.zeros_like(xyz), valid=valid)
+
+    want = np.asarray(neighbors.radius_counts(shifted, 0.5, block_size=128))
+    got = np.asarray(
+        radius_counts_pallas(
+            jnp.asarray(xyz), jnp.asarray(valid), 0.5, tq=128, cb=128
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    assert want[valid].min() >= 1  # self-inclusion: valid counts are nonzero
+
+
 def test_statistical_filter_matches_oracle():
     cloud, pts = make_cloud(seed=1)
     out = neighbors.statistical_outlier_filter(cloud, 10, 0.5, block_size=128)

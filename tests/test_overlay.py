@@ -25,8 +25,12 @@ def pil_reference_overlay(frame, road_mask, fence_mask, road_rgba, fence_rgba):
 def test_overlay_matches_pil_paste():
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 256, size=(48, 96, 3)).astype(np.uint8)
-    road = rng.uniform(size=(48, 96)) < 0.3
-    fence = rng.uniform(size=(48, 96)) < 0.2
+    # heavy masks so road∧fence overlap pixels (where PIL's per-paste uint8
+    # rounding matters — the second paste reads the first paste's INTEGER
+    # result) are well represented
+    road = rng.uniform(size=(48, 96)) < 0.5
+    fence = rng.uniform(size=(48, 96)) < 0.5
+    assert (road & fence).sum() > 500
     road_rgba = (128, 64, 128, 64)
     fence_rgba = (160, 10, 10, 64)
 
@@ -37,10 +41,7 @@ def test_overlay_matches_pil_paste():
             road_rgba, fence_rgba,
         )
     )
-    diff = np.abs(got.astype(int) - want.astype(int))
-    # PIL uses fixed-point alpha blending; allow 1 intensity level
-    assert diff.max() <= 1, diff.max()
-    assert (diff > 0).mean() < 0.02  # and almost all pixels exact
+    np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
 def test_rgb_to_gray_matches_cv2():
