@@ -296,6 +296,56 @@ def load_mono_params(model: Monodepth, path: str, input_hw: Tuple[int, int]):
     return weights_lib.as_jax_params(template, converted)
 
 
+class FrozenPipeline:
+    """Serves frames from a StableHLO export (cli.export_pipeline) — the
+    reference's ``--use_frozen optimized_graph.pb`` path
+    (semantic_depth.py:472-513), with the whole fused program (not just the
+    segmenter) in the artifact. Weights are baked in; no model code runs.
+    The blob's frame shape (and batch, for batched exports) is fixed at
+    export time, like the reference's frozen graph."""
+
+    def __init__(self, path: str, cfg: PipelineConfig):
+        from ..export import load_pipeline
+
+        self._call = load_pipeline(path)
+        self._path = path
+        self.config = cfg
+
+    def _run(self, frames, width, focal, disparity_mult):
+        from ..pipeline import resolve_frame_scalars
+
+        focal, disparity_mult = resolve_frame_scalars(
+            self.config, width, focal, disparity_mult
+        )
+        out = self._call(
+            jnp.asarray(frames, jnp.float32), jnp.float32(focal),
+            jnp.float32(disparity_mult),
+        )
+        if isinstance(out, (tuple, list)):  # scalars-only export surface
+            from types import SimpleNamespace
+
+            return SimpleNamespace(dist_rw=out[0], dist_f2f=out[1], rw_found=out[2])
+        return out
+
+    def process_frame(self, frame, focal=None, disparity_mult=None):
+        return self._run(frame, frame.shape[1], focal, disparity_mult)
+
+    def process_batch(self, frames, focal=None, disparity_mult=None):
+        return self._run(frames, frames.shape[2], focal, disparity_mult)
+
+
+def require_dense_outputs(out, flag_context: str):
+    """Fail with an actionable message when a scalars-only frozen blob is
+    used on a path that writes dense artifacts."""
+    if not hasattr(out, "overlay_small"):
+        raise SystemExit(
+            f"{flag_context} needs dense outputs; this frozen artifact was "
+            "exported scalars-only — re-export with "
+            "cli.export_pipeline --full_outputs"
+        )
+    return out
+
+
 def apply_encoder_override(cfg: PipelineConfig, encoder: str) -> PipelineConfig:
     """Apply a --monodepth_encoder value (vgg|resnet50, reference flag
     semantic_depth.py:721-722) to the config."""

@@ -100,38 +100,6 @@ def make_config(args):
     return cfg
 
 
-class _FrozenPipeline:
-    """Serves frames from a StableHLO export (cli.export_pipeline) — the
-    reference's ``--use_frozen optimized_graph.pb`` path
-    (semantic_depth.py:472-513), with the whole fused program (not just the
-    segmenter) in the artifact. Weights are baked in; no model code runs."""
-
-    def __init__(self, path: str, cfg):
-        from ..export import load_pipeline
-
-        self._call = load_pipeline(path)
-        self._path = path
-        self.config = cfg
-
-    def process_frame(self, frame, focal=None, disparity_mult=None):
-        import jax.numpy as jnp
-
-        from ..pipeline import resolve_frame_scalars
-
-        focal, disparity_mult = resolve_frame_scalars(
-            self.config, frame.shape[1], focal, disparity_mult
-        )
-        out = self._call(
-            jnp.asarray(frame, jnp.float32), jnp.float32(focal),
-            jnp.float32(disparity_mult),
-        )
-        if isinstance(out, (tuple, list)):  # scalars-only export surface
-            from types import SimpleNamespace
-
-            return SimpleNamespace(dist_rw=out[0], dist_f2f=out[1], rw_found=out[2])
-        return out
-
-
 def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
     """Run one frame; write times/distances and optionally the artifact suite.
     Returns (dist_rw, dist_f2f)."""
@@ -158,12 +126,7 @@ def process_one(pipe, cfg, input_frame, output_name, args, focal=None):
             print("Distance from fence to fence:", dist_f2f)
 
     if args.save_data:
-        if not hasattr(out, "overlay_small"):
-            raise SystemExit(
-                "--save_data needs dense outputs; this frozen artifact was "
-                "exported scalars-only — re-export with "
-                "cli.export_pipeline --full_outputs"
-            )
+        common.require_dense_outputs(out, "--save_data")
         common.save_frame_artifacts(out, cfg, output_name, frame, args.is_city)
 
     t_global = time.time() - tic_global
@@ -242,7 +205,7 @@ def main(argv=None):
                 "--profile_stages needs the live pipeline; the frozen "
                 "artifact is one opaque program"
             )
-        pipe = _FrozenPipeline(args.use_frozen, cfg)
+        pipe = common.FrozenPipeline(args.use_frozen, cfg)
     else:
         pipe = common.build_pipeline(
             cfg, args.semantic_model, args.monodepth_checkpoint,

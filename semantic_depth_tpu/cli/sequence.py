@@ -46,7 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "streamed batch path; frames must share a resolution)")
     p.add_argument("--output_name", default="stuttgart_video")
     p.add_argument("--results_dir", default="results")
-    p.add_argument("--use_frozen", action="store_true", help="(compat no-op)")
+    p.add_argument("--use_frozen", nargs="?", const=None, default=None,
+                   metavar="PATH",
+                   help="serve from a StableHLO export (cli.export_pipeline "
+                        "--full_outputs; use --batch N there to match this "
+                        "entry's --batch). Bare flag: no-op (compat)")
     p.add_argument("--use_xla", action="store_true", help="(compat no-op)")
     p.add_argument("--CUDA_DEVICE_NUMBER", default="0", help="(compat no-op)")
     p.add_argument("--dev_tiny", action="store_true", help=argparse.SUPPRESS)
@@ -58,6 +62,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def save_sequence_artifacts(out, cfg, output_name, original_hw, result_images_dir, result_ply_dir):
+    common.require_dense_outputs(out, "the sequence artifact suite")
     line_found = bool(out.rw_found)
     dist_rw = float(out.dist_rw)
     left = np.asarray(out.left_pt_rw)
@@ -94,10 +99,13 @@ def main(argv=None):
         depth=args.depth,
     )
     cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
-    pipe = common.build_pipeline(
-        cfg, args.semantic_model, args.monodepth_checkpoint, tiny=args.dev_tiny,
-        native_s2d=args.native_s2d,
-    )
+    if args.use_frozen:
+        pipe = common.FrozenPipeline(args.use_frozen, cfg)
+    else:
+        pipe = common.build_pipeline(
+            cfg, args.semantic_model, args.monodepth_checkpoint,
+            tiny=args.dev_tiny, native_s2d=args.native_s2d,
+        )
 
     out_root = os.path.join(args.results_dir, args.output_name)
     result_images_dir = os.path.join(out_root, "result_sequence_imgs")

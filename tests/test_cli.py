@@ -160,6 +160,27 @@ def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
     arts = list((tmp_path / "r3" / "f").iterdir())
     assert len(arts) >= 10  # full artifact suite from the frozen program
 
+    # the sequence entry serves from full-outputs blobs too (its artifact
+    # suite needs dense fields; the reference sequence script also carries
+    # the --use_frozen flag)
+    from semantic_depth_tpu.cli import sequence as seq_cli
+
+    seqf = str(tmp_path / "seq_full.shlo")
+    exp_cli.main([
+        "--semantic_model", "random", "--monodepth_checkpoint", "random",
+        "--input_height", "128", "--input_width", "256",
+        "--frame_height", "96", "--frame_width", "192",
+        "--output", seqf, "--dev_tiny", "--approach", "rw", "--full_outputs",
+    ])
+    seq_cli.main([
+        "--input_folder", str(tmp_path / "*.png"),
+        "--use_frozen", seqf,
+        "--input_height", "128", "--input_width", "256", "--approach", "rw",
+        "--results_dir", str(tmp_path / "rseq"), "--output_name", "fz",
+    ])
+    imgs = tmp_path / "rseq" / "fz" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs.iterdir()) == ["f.png"]
+
     # batched export: the streamed-sequence serving shape
     from semantic_depth_tpu.export import load_pipeline
 
