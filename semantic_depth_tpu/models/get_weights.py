@@ -116,8 +116,7 @@ def get_monodepth_model(
     os.makedirs(output_location, exist_ok=True)
     zip_path = os.path.join(output_location, f"{model_name}.zip")
     fetch(MONODEPTH_URL.format(name=model_name), zip_path, fetcher, sha256)
-    with zipfile.ZipFile(zip_path) as zf:
-        zf.extractall(output_location)
+    _extract_zip(zip_path, output_location)
     os.remove(zip_path)
 
     # the zips contain <name>/<name>.data-... (checkpoint prefix <name>/<name>)
@@ -126,8 +125,14 @@ def get_monodepth_model(
         os.path.join(output_location, model_name),
     )
     prefix = next(
-        (c for c in candidates if os.path.exists(c + ".index")), candidates[0]
+        (c for c in candidates if os.path.exists(c + ".index")), None
     )
+    if prefix is None:
+        raise OSError(
+            f"{model_name}.zip extracted but no checkpoint index found at "
+            f"{candidates[0]}.index or {candidates[1]}.index — unexpected "
+            "archive layout; inspect the extracted tree"
+        )
     if not convert:
         return prefix
     if encoder is None:
@@ -153,17 +158,32 @@ def maybe_download_pretrained_vgg(
         os.path.join(vgg_path, "variables/variables.index"),
         os.path.join(vgg_path, "saved_model.pb"),
     ]
-    if not any(not os.path.exists(p) for p in expected):
+    if all(os.path.exists(p) for p in expected):
         return vgg_path
     if os.path.exists(vgg_path):
         shutil.rmtree(vgg_path)
     os.makedirs(vgg_path)
     zip_path = os.path.join(vgg_path, "vgg.zip")
     fetch(VGG_URL, zip_path, fetcher, sha256)
-    with zipfile.ZipFile(zip_path) as zf:
-        zf.extractall(data_dir)  # the zip contains the vgg/ tree (helper.py:88)
+    _extract_zip(zip_path, data_dir)  # the zip contains the vgg/ tree (helper.py:88)
     os.remove(zip_path)
     return vgg_path
+
+
+def _extract_zip(zip_path: str, dest: str) -> None:
+    """Extract, deleting the archive on corruption: a truncated download or
+    an HTTP error page saved as the zip would otherwise poison the cache —
+    fetch()'s wget -nc semantics never re-download an existing file."""
+    try:
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(dest)
+    except zipfile.BadZipFile as e:
+        os.remove(zip_path)
+        raise OSError(
+            f"{zip_path} is not a valid zip (truncated download or an HTTP "
+            f"error page?): {e}. The bad file was removed; re-run to "
+            "re-download."
+        ) from e
 
 
 def main(argv=None) -> int:

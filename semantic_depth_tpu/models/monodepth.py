@@ -67,10 +67,14 @@ def _upsample_nn(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
 class Monodepth(nn.Module):
     """Monodepth disparity network.
 
-    __call__(images) -> list of 4 disparity pyramids, finest first:
+    __call__(images) -> list of disparity pyramids, finest first:
     ``disps[i]`` has shape (B, H/2^i, W/2^i, 2) with channels (left, right),
-    values in (0, 0.3). ``disp_left(images)`` returns the consumed surface:
-    the finest left-disparity map (B, H, W).
+    values in (0, 0.3). The standard net returns 4 scales; with
+    ``input_s2d=True`` there are 5 — the extra LEVEL-0 decoder step restores
+    the original resolution from the packed grid, so ``disps[0]`` is the
+    full-resolution map and the published 4 scales follow at indices 1..4.
+    ``disp_left(images)`` returns the consumed surface either way: the
+    finest left-disparity map (B, H, W).
     """
 
     encoder: str = "vgg"  # 'vgg' | 'resnet50'
@@ -134,14 +138,16 @@ class Monodepth(nn.Module):
         return nn.max_pool(x, (k, k), strides=(2, 2), padding="VALID")
 
     def _resconv(self, x, num_layers, stride, name):
-        do_proj = (x.shape[3] != self._ch(num_layers * 4)) or (stride == 2)
+        # EVERY resconv projects: the upstream condition
+        # ``do_proj = tf.shape(x)[3] != num_layers or stride == 2`` compares
+        # a TF1 scalar Tensor to an int with ``!=`` (never overridden in
+        # TF1) — always True — so all 16 resconvs in the published
+        # checkpoints carry a learned ``_sc`` 1x1 projection. Reproduce that
+        # exactly or resnet50 weight parity is unattainable.
         out = self._conv(x, num_layers, 1, 1, f"{name}_c1")
         out = self._conv(out, num_layers, 3, stride, f"{name}_c2")
         out = self._conv(out, 4 * num_layers, 1, 1, f"{name}_c3", act=None)
-        if do_proj:
-            shortcut = self._conv(x, 4 * num_layers, 1, stride, f"{name}_sc", act=None)
-        else:
-            shortcut = x
+        shortcut = self._conv(x, 4 * num_layers, 1, stride, f"{name}_sc", act=None)
         return nn.elu(out + shortcut)
 
     def _resblock(self, x, num_layers, num_blocks, name):

@@ -72,9 +72,9 @@ def _read_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _slim_order(names: List[str], scope: str) -> List[str]:
-    """Sort slim auto-named layers (Conv, Conv_1, Conv_2, ...) of one scope in
-    creation order."""
+def _slim_layer_ids(names: List[str], scope: str) -> List[int]:
+    """Integer indices of slim auto-named layers (Conv, Conv_1, Conv_2, ...)
+    of one scope, sorted in creation order."""
 
     def key(n):
         m = re.match(rf"{re.escape(scope)}/Conv(?:_(\d+))?/", n)
@@ -82,8 +82,7 @@ def _slim_order(names: List[str], scope: str) -> List[str]:
             return None
         return int(m.group(1) or 0)
 
-    layer_ids = sorted({key(n) for n in names if key(n) is not None})
-    return layer_ids
+    return sorted({key(n) for n in names if key(n) is not None})
 
 
 # ---------------------------------------------------------------------------
@@ -106,22 +105,19 @@ def _monodepth_decoder_order(n_ups: int) -> List[str]:
 
 
 def _monodepth_resnet_encoder_order() -> List[str]:
-    """Encoder conv creation order for the resnet50 variant, including the
-    OPTIONAL projection shortcuts: a resconv projects iff its input channel
-    count != 4*num_layers or it strides (models/monodepth.py _resconv —
-    matching the upstream rule). Channel bookkeeping below tracks that."""
+    """Encoder conv creation order for the resnet50 variant. EVERY resconv
+    carries a projection shortcut: the upstream rule
+    ``do_proj = tf.shape(x)[3] != num_layers or stride == 2`` compares a TF1
+    scalar Tensor to a Python int with ``!=``, which TF1 never overrides —
+    it is ALWAYS True, so every published checkpoint has 16 ``_sc`` convs
+    (1 + 16*4 = 65 encoder convs total). models/monodepth.py _resconv
+    reproduces the same always-project behavior."""
     names = ["enc1"]
-    in_ch = 64  # pool1 output channels
     for blk, num_layers, n in [("res2", 64, 3), ("res3", 128, 4), ("res4", 256, 6),
                                ("res5", 512, 3)]:
         for i in range(n):
-            stride2 = i == n - 1  # last resconv of each block strides
-            do_proj = (in_ch != 4 * num_layers) or stride2
             base = f"{blk}_{i}"
-            names += [f"{base}_c1", f"{base}_c2", f"{base}_c3"]
-            if do_proj:
-                names.append(f"{base}_sc")
-            in_ch = 4 * num_layers
+            names += [f"{base}_c1", f"{base}_c2", f"{base}_c3", f"{base}_sc"]
     return names
 
 
@@ -137,7 +133,7 @@ def convert_monodepth_checkpoint(
     names = list(tf_vars)
 
     def scope_layers(scope: str) -> List[int]:
-        return _slim_order(names, scope)
+        return _slim_layer_ids(names, scope)
 
     params: Dict[str, Dict[str, np.ndarray]] = {}
 
@@ -146,10 +142,15 @@ def convert_monodepth_checkpoint(
         w = tf_vars[f"{scope}/{op}{suffix}/weights"]
         entry = {"kernel": w}
         bias_name = f"{scope}/{op}{suffix}/biases"
-        if bias_name in tf_vars:
-            entry["bias"] = tf_vars[bias_name]
-        else:
-            entry["bias"] = np.zeros((w.shape[-1],), w.dtype)
+        if bias_name not in tf_vars:
+            # upstream slim convs ALWAYS have biases; a missing one means the
+            # naming/mapping is wrong — failing loudly beats silently zeroed
+            # biases producing subtly wrong disparities
+            raise KeyError(
+                f"{bias_name} not in checkpoint (kernel found at "
+                f"{scope}/{op}{suffix}/weights) — unexpected variable naming"
+            )
+        entry["bias"] = tf_vars[bias_name]
         params[our_name] = entry
 
     if encoder == "vgg":
@@ -204,32 +205,35 @@ _FCN_DECODER_CONV_ORDER = ["score_fc7", "score_pool4", "score_pool3"]
 _FCN_DECODER_DECONV_ORDER = ["upscore2", "upscore4", "upscore8"]
 
 
+def _resolve_vgg_layer(tf_vars: Dict, tf_scope: str):
+    """Find a VGG conv's (kernel, bias) across the three export namings:
+    '<layer>/filter' (Udacity SavedModel), '<layer>/weights' (slim), or
+    '<layer>/kernel' (tf.layers)."""
+    for wkey, bkey in (
+        (f"{tf_scope}/filter", f"{tf_scope}/biases"),
+        (f"{tf_scope}/weights", f"{tf_scope}/biases"),
+        (f"{tf_scope}/kernel", f"{tf_scope}/bias"),
+    ):
+        if wkey in tf_vars:
+            return tf_vars[wkey], tf_vars[bkey]
+    raise KeyError(f"VGG variable for layer {tf_scope} not found in checkpoint")
+
+
 def convert_fcn_checkpoint(ckpt_path: str) -> Dict:
     """TF1 FCN-8s checkpoint (saved by fcn.py save_model, containing VGG +
-    decoder vars) -> flax params for models.FCN8s."""
+    decoder vars) -> flax params for models.FCN8s.
+
+    TF conv2d_transpose kernels are (H, W, O, I); flax ConvTranspose with
+    transpose_kernel=True consumes exactly that layout, so deconv kernels
+    pass through untransformed."""
     tf_vars = _read_tf_checkpoint(ckpt_path)
     params: Dict[str, Dict[str, np.ndarray]] = {}
 
-    def put(our_name: str, w: np.ndarray, b: np.ndarray, transpose_conv: bool = False):
-        # TF conv2d_transpose kernels are (H, W, O, I); flax ConvTranspose
-        # with transpose_kernel=True consumes exactly that layout.
+    def put(our_name: str, w: np.ndarray, b: np.ndarray):
         params[our_name] = {"kernel": w, "bias": b}
 
-    # VGG encoder: variables may be named either '<layer>/filter' (Udacity
-    # SavedModel) or '<layer>/weights'/'kernel' depending on the export.
     for tf_scope, our_name in _FCN_VGG_NAME_MAP.items():
-        found = False
-        for wkey, bkey in (
-            (f"{tf_scope}/filter", f"{tf_scope}/biases"),
-            (f"{tf_scope}/weights", f"{tf_scope}/biases"),
-            (f"{tf_scope}/kernel", f"{tf_scope}/bias"),
-        ):
-            if wkey in tf_vars:
-                put(our_name, tf_vars[wkey], tf_vars[bkey])
-                found = True
-                break
-        if not found:
-            raise KeyError(f"VGG variable for layer {tf_scope} not found in checkpoint")
+        put(our_name, *_resolve_vgg_layer(tf_vars, tf_scope))
 
     def auto_name(base: str, i: int) -> str:
         return base if i == 0 else f"{base}_{i}"
@@ -239,7 +243,7 @@ def convert_fcn_checkpoint(ckpt_path: str) -> Dict:
         put(our_name, tf_vars[f"{base}/kernel"], tf_vars[f"{base}/bias"])
     for i, our_name in enumerate(_FCN_DECODER_DECONV_ORDER):
         base = auto_name("conv2d_transpose", i)
-        put(our_name, tf_vars[f"{base}/kernel"], tf_vars[f"{base}/bias"], transpose_conv=True)
+        put(our_name, tf_vars[f"{base}/kernel"], tf_vars[f"{base}/bias"])
 
     return {"params": params}
 
@@ -255,16 +259,8 @@ def convert_vgg_checkpoint(ckpt_path: str) -> Dict:
     tf_vars = _read_tf_checkpoint(ckpt_path)
     params: Dict[str, Dict[str, np.ndarray]] = {}
     for tf_scope, our_name in _FCN_VGG_NAME_MAP.items():
-        for wkey, bkey in (
-            (f"{tf_scope}/filter", f"{tf_scope}/biases"),
-            (f"{tf_scope}/weights", f"{tf_scope}/biases"),
-            (f"{tf_scope}/kernel", f"{tf_scope}/bias"),
-        ):
-            if wkey in tf_vars:
-                params[our_name] = {"kernel": tf_vars[wkey], "bias": tf_vars[bkey]}
-                break
-        else:
-            raise KeyError(f"VGG variable for layer {tf_scope} not found in checkpoint")
+        w, b = _resolve_vgg_layer(tf_vars, tf_scope)
+        params[our_name] = {"kernel": w, "bias": b}
     return {"params": params}
 
 

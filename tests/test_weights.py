@@ -161,8 +161,10 @@ def test_save_load_roundtrip(tmp_path, mono_tiny):
 
 
 def test_monodepth_resnet50_converter_maps_all_layers(tmp_path):
-    """The resnet50 order list (with optional projection shortcuts) must
-    exactly cover the module's parameter tree."""
+    """The resnet50 order list must exactly cover the module's parameter
+    tree — including a projection shortcut in EVERY resconv (upstream's
+    do_proj is a TF1 tensor!=int comparison that is always True, so all 16
+    published resconvs carry a learned _sc; 65 encoder convs total)."""
     model = Monodepth(encoder="resnet50", width_mult=0.0625)
     x = jnp.zeros((2, 128, 256, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
