@@ -51,15 +51,11 @@ class ShardedPipeline:
 
     def process_batch(self, frames, focal: Optional[float] = None,
                       disparity_mult: Optional[float] = None):
-        cfg = self.pipeline.config
-        if focal is None:
-            focal = cfg.camera.focal
-        if disparity_mult is None:
-            disparity_mult = (
-                cfg.disparity_multiplier
-                if cfg.disparity_multiplier is not None
-                else float(frames.shape[2])
-            )
+        from ..pipeline import resolve_frame_scalars
+
+        focal, disparity_mult = resolve_frame_scalars(
+            self.pipeline.config, frames.shape[2], focal, disparity_mult
+        )
         dp = self.mesh.shape["dp"]
         if frames.shape[0] % dp != 0:
             raise ValueError(f"batch {frames.shape[0]} not divisible by dp={dp}")

@@ -31,28 +31,49 @@ from ..ops.resize import resize_clip_u8_np
 
 def _prefetched(it: Iterator, depth: int) -> Iterator:
     """Run ``it`` in a daemon thread, keeping up to ``depth`` items ready;
-    producer exceptions are re-raised at the consumer."""
+    producer exceptions are re-raised at the consumer. If the consumer stops
+    early (an exception mid-epoch, a ``break``), the producer is released —
+    a plain blocking ``q.put`` would otherwise leave the thread stuck
+    forever, pinning ~depth decoded batches per abandoned epoch."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(done)
         except BaseException as e:
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked on a full queue can observe the event
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 def get_files_paths(gt_dir: str, imgs_dir: str) -> Tuple[List[str], List[str]]:
@@ -81,16 +102,14 @@ def prepare_ground_truth(
     """Label-id image -> one-hot (H, W, 3): road / fence / background
     (helper.py:149-177)."""
     road_mask = img == 7
-    if dataset[:4] == "city":
-        if mode == "train":
-            fence_mask = np.logical_or.reduce(
-                (img == 11, img == 12, img == 13, img == 14, img == 15, img == 16)
-            )
-        else:
-            fence_mask = img == 13
-    elif dataset[:4] == "robo":
-        fence_mask = img == 13
+    if dataset[:4] == "city" and mode == "train":
+        # Cityscapes train: ids {11..16} all count as fence (helper.py:160)
+        fence_mask = np.logical_or.reduce(
+            (img == 11, img == 12, img == 13, img == 14, img == 15, img == 16)
+        )
     else:
+        # Cityscapes val/test AND roborace (any mode): id 13 only
+        # (helper.py:168-171 — roborace has no separate branch upstream)
         fence_mask = img == 13
     else_mask = ~(road_mask | fence_mask)
     out = np.zeros((img.shape[0], img.shape[1], num_classes), np.float32)

@@ -218,7 +218,12 @@ class MonodepthTrainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{self.step}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.params, "step": self.step})
+        # opt_state included so a resumed run steps like an uninterrupted one
+        ckptr.save(
+            path,
+            {"params": self.params, "opt_state": self.opt_state,
+             "step": self.step},
+        )
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, ckpt_dir: str, step: int) -> None:
@@ -228,7 +233,18 @@ class MonodepthTrainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, {"params": self.params, "step": 0})
+        template = {"params": self.params, "opt_state": self.opt_state, "step": 0}
+        try:
+            restored = ckptr.restore(path, template)
+            self.opt_state = restored["opt_state"]
+        except BaseException:
+            import warnings
+
+            restored = ckptr.restore(path, {"params": self.params, "step": 0})
+            self.opt_state = self.tx.init(restored["params"])
+            warnings.warn(
+                f"{path} has no optimizer state (old checkpoint format); "
+                "Adam moments restart from zero"
+            )
         self.params = restored["params"]
-        self.opt_state = self.tx.init(self.params)
         self.step = int(restored["step"])

@@ -125,8 +125,11 @@ class StereoDataset:
 
         img = imread_bgr(path)[:, :, ::-1].astype(np.float32)  # RGB
         # host-side resize: a jnp call here would ship every image through
-        # the accelerator (the loader runs under a TPU-default backend)
-        return resize_clip_u8_np(img, self.image_hw) / np.float32(255.0)
+        # the accelerator (the loader runs under a TPU-default backend).
+        # BILINEAR, not the cubic default: the published recipe resizes with
+        # tf.image.resize_images (bilinear), and parity is this module's
+        # contract (docstring above).
+        return resize_clip_u8_np(img, self.image_hw, method="linear") / np.float32(255.0)
 
     def _epoch_batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self.rng.permutation(len(self.pairs))

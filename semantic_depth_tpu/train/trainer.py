@@ -228,17 +228,16 @@ class FCNTrainer:
         """Test-set IoU with per-image values (inference equivalent,
         fcn.py:384-492)."""
         per_image = []
-        total_cm = np.zeros((self.config.num_classes,) * 2, np.float32)
-        running = np.zeros_like(total_cm)
+        running = np.zeros((self.config.num_classes,) * 2, np.float32)
         for images, labels in dataset.batches(1, mode="test"):
             m = self.eval_batch(images, labels)
-            # the reference logs the RUNNING mean IoU after each image
+            # the reference logs the RUNNING mean IoU after each image; the
+            # final mean is the same accumulator fully summed
             running = running + m["cm"]
             per_image.append(float(mean_iou_from_cm(jnp.asarray(running))))
-            total_cm += m["cm"]
         return {
             "per_image_iou": per_image,
-            "mean_iou": float(mean_iou_from_cm(jnp.asarray(total_cm))),
+            "mean_iou": per_image[-1] if per_image else 0.0,
         }
 
     def set_params(self, params: Any) -> None:
@@ -256,7 +255,17 @@ class FCNTrainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{self.state.step}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.state.params, "step": self.state.step})
+        # Optimizer state IS part of a resumable checkpoint: restoring params
+        # alone silently zeroes Adam's moments + bias-correction count, and
+        # the resumed run steps differently from an uninterrupted one.
+        ckptr.save(
+            path,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
+        )
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, ckpt_dir: str, step: int) -> None:
@@ -264,8 +273,38 @@ class FCNTrainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, {"params": self.state.params, "step": 0})
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": 0,
+        }
+        try:
+            restored = ckptr.restore(path, template)
+            opt_state = restored["opt_state"]
+        except BaseException:
+            # pre-r3 checkpoints carry no optimizer state: restore params
+            # only and warn that moments restart
+            import warnings
+
+            restored = ckptr.restore(path, {"params": self.state.params, "step": 0})
+            opt_state = None
+            warnings.warn(
+                f"{path} has no optimizer state (old checkpoint format); "
+                "Adam moments restart from zero"
+            )
         self._install_params(restored["params"], step=int(restored["step"]))
+        if opt_state is not None:
+            if self.mesh is not None:
+                from ..parallel.train_step import _opt_state_shardings
+
+                opt_state = jax.tree.map(
+                    jax.device_put, opt_state,
+                    _opt_state_shardings(self.mesh, opt_state, self.state.params),
+                )
+            self.state = TrainState(
+                params=self.state.params, opt_state=opt_state,
+                step=self.state.step,
+            )
 
 
 def write_metric_logs(log_dir, model_name, metric_type, train_vals, val_vals, epochs):

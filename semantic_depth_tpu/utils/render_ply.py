@@ -11,37 +11,26 @@ accelerator for large clouds, or on CPU, identically.
 from __future__ import annotations
 
 import argparse
-from functools import partial
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
 
 
-def render_points(
-    points: np.ndarray,
-    colors: np.ndarray,
-    image_hw: Tuple[int, int] = (512, 1024),
-    focal: float = 500.0,
-    camera_pos: Optional[np.ndarray] = None,
-    look_forward_z: float = -1.0,
-    splat: int = 2,
-    background: float = 255.0,
-) -> np.ndarray:
-    """Render (N, 3) points with (N, 3) 0..255 colors to an (H, W, 3) uint8
-    image. The camera looks down +z*look_forward_z from camera_pos (defaults
-    to slightly above the origin, matching the semantic-depth world where the
-    road recedes toward -z)."""
+@functools.lru_cache(maxsize=1)
+def _get_render_fn():
+    """Module-level jitted splatter, cached per static (h, w, ...) config: a
+    closure jitted inside render_points would be a fresh function object per
+    call, missing jax.jit's cache and recompiling every render."""
     import jax
-    import jax.numpy as jnp
 
-    h, w = image_hw
-    if camera_pos is None:
-        camera_pos = np.array([0.0, 0.5, 1.0])
-    pts = jnp.asarray(points, jnp.float32) - jnp.asarray(camera_pos, jnp.float32)
-    cols = jnp.asarray(colors, jnp.float32)
+    @functools.partial(
+        jax.jit,
+        static_argnames=("h", "w", "focal", "look_forward_z", "background"),
+    )
+    def _render(pts, cols, *, h, w, focal, look_forward_z, background):
+        import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=())
-    def _render(pts, cols):
         z = pts[:, 2] * look_forward_z  # depth along view direction, >0 in front
         valid = z > 0.1
         zs = jnp.where(valid, z, jnp.inf)
@@ -62,7 +51,38 @@ def render_points(
         img = img.at[jnp.where(won, flat, h * w)].set(cols)
         return img[: h * w].reshape(h, w, 3)
 
-    out = np.asarray(_render(pts, cols))
+    return _render
+
+
+def render_points(
+    points: np.ndarray,
+    colors: np.ndarray,
+    image_hw: Tuple[int, int] = (512, 1024),
+    focal: float = 500.0,
+    camera_pos: Optional[np.ndarray] = None,
+    look_forward_z: float = -1.0,
+    splat: int = 2,
+    background: float = 255.0,
+) -> np.ndarray:
+    """Render (N, 3) points with (N, 3) 0..255 colors to an (H, W, 3) uint8
+    image. The camera looks down +z*look_forward_z from camera_pos (defaults
+    to slightly above the origin, matching the semantic-depth world where the
+    road recedes toward -z)."""
+    import jax.numpy as jnp
+
+    h, w = image_hw
+    if camera_pos is None:
+        camera_pos = np.array([0.0, 0.5, 1.0])
+    pts = jnp.asarray(points, jnp.float32) - jnp.asarray(camera_pos, jnp.float32)
+    cols = jnp.asarray(colors, jnp.float32)
+
+    render = _get_render_fn()
+    out = np.asarray(
+        render(
+            pts, cols, h=h, w=w, focal=float(focal),
+            look_forward_z=float(look_forward_z), background=float(background),
+        )
+    )
     if splat > 1:
         # simple dilation so sparse clouds remain visible
         import cv2

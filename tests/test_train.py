@@ -76,6 +76,19 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     b = trainer2.eval_batch(jnp.asarray(images), jnp.asarray(labels))
     assert a["loss"] == pytest.approx(b["loss"], rel=1e-6)
 
+    # a RESUMED run must step like an uninterrupted one: the checkpoint
+    # carries the Adam moments, so the next update matches exactly (restoring
+    # params alone would zero mu/nu and diverge)
+    trainer2.rng = trainer.rng  # align the dropout stream
+    ma = trainer.train_batch(jnp.asarray(images), jnp.asarray(labels))
+    mb = trainer2.train_batch(jnp.asarray(images), jnp.asarray(labels))
+    assert ma["loss"] == pytest.approx(mb["loss"], rel=1e-6)
+    la = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(trainer.state.params)])
+    lb = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(trainer2.state.params)])
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
 
 def test_prepare_ground_truth_label_encoding():
     img = np.zeros((4, 6), np.uint8)
