@@ -305,10 +305,34 @@ class FrozenPipeline:
     export time, like the reference's frozen graph."""
 
     def __init__(self, path: str, cfg: PipelineConfig):
-        from ..export import load_pipeline
+        from ..export import load_pipeline, load_pipeline_meta
 
         self._call = load_pipeline(path)
         self._path = path
+        meta = load_pipeline_meta(path)
+        if meta is not None:
+            # The geometry (depth, approach, camera) is BAKED into the blob;
+            # scalar defaults must come from the EXPORT config or serving
+            # with a different CLI preset silently feeds the wrong focal.
+            # Warn when the serving config disagrees on baked behavior.
+            for key, got in (
+                ("depth", cfg.depth),
+                ("approach", cfg.approach),
+                ("input_height", cfg.input_height),
+                ("input_width", cfg.input_width),
+            ):
+                if meta.get(key) is not None and meta[key] != got:
+                    warnings.warn(
+                        f"--use_frozen: {key}={got} is ignored — the blob "
+                        f"was exported with {key}={meta[key]} (baked in)"
+                    )
+            cfg = dataclasses.replace(
+                cfg,
+                camera=cfg.camera.with_focal(meta["camera_focal"]),
+                disparity_multiplier=meta["disparity_multiplier"],
+                depth=meta["depth"],
+                approach=meta["approach"],
+            )
         self.config = cfg
 
     def _run(self, frames, width, focal, disparity_mult):
@@ -317,10 +341,7 @@ class FrozenPipeline:
         focal, disparity_mult = resolve_frame_scalars(
             self.config, width, focal, disparity_mult
         )
-        out = self._call(
-            jnp.asarray(frames, jnp.float32), jnp.float32(focal),
-            jnp.float32(disparity_mult),
-        )
+        out = self._call(jnp.asarray(frames), focal, disparity_mult)
         if isinstance(out, (tuple, list)):  # scalars-only export surface
             from types import SimpleNamespace
 

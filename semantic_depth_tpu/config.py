@@ -127,8 +127,9 @@ class MonodepthConfig:
     """
 
     encoder: str = "vgg"  # 'vgg' | 'resnet50'
-    height: int = 256
-    width: int = 512
+    # NOTE: the network input size comes from PipelineConfig.input_height/
+    # input_width — it is NOT configured here (the reference's
+    # monodepth_parameters height/width fields map to those).
     # Reference test mode always runs the frame + its horizontal flip as a
     # batch of 2 and blends (semantic_depth.py:656-678) — it compensates the
     # published nets' left-edge disocclusion artifacts. Costs a full second

@@ -9,7 +9,7 @@ flax, or retracing — deployment artifacts for serving.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,18 +51,36 @@ def _register_output_serialization() -> None:
 def export_pipeline(
     pipe: SemanticDepthPipeline,
     path: str,
-    frame_shape: Tuple[int, int, int] = (1024, 2048, 3),
+    frame_shape: Tuple[int, ...] = (1024, 2048, 3),
     batched: bool = False,
     scalars_only: bool = True,
+    frame_dtype=jnp.uint8,
 ) -> str:
     """Serialize the pipeline for ``frame_shape`` inputs.
 
     scalars_only=True exports the serving surface (dist_rw, dist_f2f,
     rw_found) — unused stages (overlay composition, dense outputs) are
     dead-code-eliminated by XLA, like the reference's "optimized" graph.
+
+    The frame input is uint8 by default — the program casts on device, and
+    uint8 keeps the 4x host->device transfer saving the live path was built
+    around (pipeline.py frame handling).
+
+    A ``<path>.meta.json`` sidecar records the export-time config scalars
+    (camera focal, depth, approach, disparity multiplier, sizes) so serving
+    (cli FrozenPipeline) resolves defaults from the EXPORT config, not from
+    whatever config the serving CLI happened to build.
     """
+    import json
+
     from jax import export as jx
 
+    want_rank = 4 if batched else 3
+    if len(frame_shape) != want_rank:
+        raise ValueError(
+            f"batched={batched} needs a rank-{want_rank} frame_shape "
+            f"({'B, ' if batched else ''}H, W, 3); got {frame_shape}"
+        )
     if not scalars_only:
         _register_output_serialization()
     fcn_p, mono_p = pipe.fcn_params, pipe.mono_params
@@ -75,21 +93,64 @@ def export_pipeline(
         return out
 
     exported = jx.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct(frame_shape, jnp.float32),
+        jax.ShapeDtypeStruct(frame_shape, frame_dtype),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
     )
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    cfg = pipe.config
+    meta = {
+        "camera_focal": cfg.camera.focal,
+        "disparity_multiplier": cfg.disparity_multiplier,
+        "depth": cfg.depth,
+        "approach": cfg.approach,
+        "input_height": cfg.input_height,
+        "input_width": cfg.input_width,
+        "frame_shape": list(frame_shape),
+        "frame_dtype": str(jnp.dtype(frame_dtype)),
+        "batched": batched,
+        "scalars_only": scalars_only,
+        "flip_average": cfg.monodepth.flip_average,
+        "encoder": cfg.monodepth.encoder,
+    }
+    # (config stays summarized: the blob already bakes the rest)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
     return path
 
 
 def load_pipeline(path: str) -> Callable:
-    """Load an exported pipeline; returns call(frame, focal, disparity_mult)."""
+    """Load an exported pipeline; returns call(frame, focal, disparity_mult).
+    Inputs are cast to the exported dtypes/avals (uint8 frames by default)."""
     from jax import export as jx
 
     _register_output_serialization()  # full-output blobs need the types back
     with open(path, "rb") as f:
         exported = jx.deserialize(f.read())
-    return exported.call
+
+    in_avals = exported.in_avals
+
+    def call(frame, focal, disparity_mult):
+        frame = jnp.asarray(frame)
+        want = in_avals[0].dtype
+        if frame.dtype != want:
+            # serving feeds float intensities or uint8 camera payloads; the
+            # blob pins one — cast to it (values are 0..255 either way)
+            frame = frame.astype(want)
+        return exported.call(frame, jnp.float32(focal), jnp.float32(disparity_mult))
+
+    return call
+
+
+def load_pipeline_meta(path: str) -> Optional[dict]:
+    """The export-time config sidecar for a serving blob, if present."""
+    import json
+    import os
+
+    meta_path = path + ".meta.json"
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)

@@ -145,7 +145,13 @@ def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineCon
     left, right = pcl.split_by_mean(fence, 0)
     # the two MAD cuts are independent: batch their four medians into two
     # (same results as two mad_filter calls, half the reduction passes)
-    assert fc.mad_x_left.axis == fc.mad_x_right.axis
+    if fc.mad_x_left.axis != fc.mad_x_right.axis:
+        # a bare assert would vanish under python -O and silently filter
+        # BOTH fences on the left's axis
+        raise ValueError(
+            f"fence mad_x axes must match for the paired filter: "
+            f"{fc.mad_x_left.axis} vs {fc.mad_x_right.axis}"
+        )
     left, right = pcl.mad_filter_pair(
         left, right, fc.mad_x_left.axis, fc.mad_x_left.threshold,
         fc.mad_x_right.threshold,
@@ -175,6 +181,15 @@ def _scaled_camera(cfg: PipelineConfig, focal):
     """
     s_w = cfg.input_width / float(_REF_W)
     s_h = cfg.input_height / float(_REF_H)
+    if abs(s_w - s_h) > 1e-9:
+        # a single pinhole focal cannot represent anisotropic scaling: focal
+        # scales with width here, so a non-2:1 grid would silently squash the
+        # cloud's Y axis and change every plane fit / MAD cut downstream
+        raise ValueError(
+            f"input {cfg.input_height}x{cfg.input_width} breaks the camera "
+            f"preset's 2:1 aspect ({_REF_H}x{_REF_W}): width factor {s_w:g} "
+            f"!= height factor {s_h:g}"
+        )
     cam = dataclasses.replace(
         cfg.camera,
         focal=focal * s_w,
@@ -278,6 +293,16 @@ class SemanticDepthPipeline:
         frame_small = resize_clip_u8(frame.astype(jnp.float32), (h, w))
         road_mask, fence_mask, _ = self.segment(fcn_params, frame_small)
         disparity = self.disparity(mono_params, frame_small, disparity_mult * s_w)
+        return self._frame_geometry(frame_small, road_mask, fence_mask, disparity, cam)
+
+    def _frame_geometry(self, frame_small, road_mask, fence_mask, disparity, cam) -> FrameOutputs:
+        """Per-frame tail shared by the fused single-frame program and the
+        vmapped batch program: reprojection -> masked clouds -> denoise ->
+        rw endpoints -> (f2f) -> overlay -> FrameOutputs. ONE definition so
+        the two paths cannot drift (the staged profiling mode keeps its own
+        per-stage split and is pinned equal by tests/test_pipeline.py)."""
+        cfg = self.config
+        h, w = cfg.input_height, cfg.input_width
         points3d = camera_lib.reproject_disparity(disparity, cam)
         colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
 
@@ -373,43 +398,8 @@ class SemanticDepthPipeline:
             )
 
         def geometry(frame_small, road_mask, fence_mask, disparity):
-            points3d = camera_lib.reproject_disparity(disparity, cam)
-            colors = frame_small[:, :, ::-1]
-            road = pcl.from_dense(points3d, colors, road_mask)
-            road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
-            depth_rw = cfg.depth - cfg.rw_depth_offset
-            left_rw, right_rw, found = pcl.road_endpoints(
-                road, depth_rw, cfg.rw_slab_halfwidth
-            )
-            dist_rw = jnp.abs(left_rw[0] - right_rw[0])
-            nan3 = jnp.full((3,), jnp.nan, jnp.float32)
-            nan4 = jnp.full((4,), jnp.nan, jnp.float32)
-            n = h * w
-            if cfg.approach == "both":
-                fence = pcl.from_dense(points3d, colors, fence_mask)
-                (fl, fr, lplane, rplane, left_f2f, right_f2f, dist_f2f) = _fence_f2f(
-                    fence, road_plane, cfg
-                )
-                fl_valid, fr_valid = fl.valid, fr.valid
-            else:
-                dist_f2f = jnp.float32(jnp.nan)
-                left_f2f = right_f2f = nan3
-                lplane = rplane = nan4
-                fl_valid = fr_valid = jnp.zeros((n,), bool)
-            overlay = segmentation_overlay(
-                frame_small, road_mask, fence_mask,
-                cfg.segmenter.road_rgba, cfg.segmenter.fence_rgba,
-            )
-            return FrameOutputs(
-                dist_rw=dist_rw, dist_f2f=dist_f2f, rw_found=found,
-                left_pt_rw=left_rw, right_pt_rw=right_rw,
-                left_pt_f2f=left_f2f, right_pt_f2f=right_f2f,
-                road_plane=road_plane, fence_left_plane=lplane,
-                fence_right_plane=rplane, road_mask=road_mask,
-                fence_mask=fence_mask, disparity=disparity, points3d=points3d,
-                colors=colors, overlay_small=overlay, frame_small=frame_small,
-                road_cloud=road, fence_left_valid=fl_valid, fence_right_valid=fr_valid,
-            )
+            return self._frame_geometry(frame_small, road_mask, fence_mask,
+                                        disparity, cam)
 
         return jax.vmap(geometry)(small, road_masks, fence_masks, disps)
 
@@ -446,6 +436,11 @@ class SemanticDepthPipeline:
 
         Returns (FrameOutputs, times) where times has the reference's stage
         keys: semantic, disparity, to3D, road, rw, fences, f2f.
+
+        The FIRST call per shape runs every stage once untimed (warmup), so
+        the reported numbers are execution, not XLA compilation — a cold
+        cache would otherwise write tens of seconds of compile time into
+        _times.txt as if it were stage work.
         """
         import time as _time
 
@@ -457,6 +452,10 @@ class SemanticDepthPipeline:
         if not hasattr(self, "_stages"):
             self._build_stages()
         S = self._stages
+        warm_key = tuple(frame.shape)
+        if getattr(self, "_stages_warm", None) != warm_key:
+            self._stages_warm = warm_key  # set first: the warmup call recurses
+            self.process_frame_staged(frame, focal, disparity_mult)
         times = {}
         frame = jnp.asarray(frame)
         focal = jnp.float32(focal)
