@@ -64,7 +64,6 @@ TRIALS = 3
 # full-res conv maps). The NATIVE leg tries 2x this first — its packed
 # trunks use ~4x less activation memory — and falls back on OOM.
 FULL_RES_BATCH = 4
-FULL_RES_FRAMES = 16
 BENCH_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_weights")
 
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).

@@ -289,7 +289,11 @@ def load_mono_params(model: Monodepth, path: str, input_hw: Tuple[int, int]):
         return template
     if os.path.isfile(path) and path.endswith(".msgpack"):
         return weights_lib.load_params(template, path)
-    native = os.path.join(os.path.dirname(path) or ".", "monodepth.msgpack")
+    # Converted-msgpack lookup: INSIDE a directory argument, or as a SIBLING
+    # of a TF checkpoint prefix. (A bare `dirname(path)` would resolve 'w'
+    # and 'w/' differently — trailing-slash-sensitive behavior.)
+    base = path if os.path.isdir(path) else (os.path.dirname(path) or ".")
+    native = os.path.join(base, "monodepth.msgpack")
     if os.path.isfile(native):
         return weights_lib.load_params(template, native)
     converted = weights_lib.convert_monodepth_checkpoint(path, encoder=model.encoder)

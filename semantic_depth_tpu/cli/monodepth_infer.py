@@ -76,9 +76,9 @@ def main(argv=None):
             groups, names = [frames], [chunk]
         for grp, nms in zip(groups, names):
             disps = np.asarray(infer(params, jnp.asarray(np.stack(grp))))
-            for disp, src in zip(disps, nms):
+            for disp, src, frame in zip(disps, nms, grp):
                 name = os.path.splitext(os.path.basename(src))[0]
-                oh, ow = common.imread_bgr(src).shape[:2]
+                oh, ow = frame.shape[:2]  # already decoded — don't re-read
                 common.save_disparity_png(disp, os.path.join(args.out_dir, name), oh, ow)
                 if args.save_npy:
                     np.save(os.path.join(args.out_dir, f"{name}_disp.npy"), disp)

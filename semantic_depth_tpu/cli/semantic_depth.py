@@ -206,6 +206,9 @@ def main(argv=None):
                 "artifact is one opaque program"
             )
         pipe = common.FrozenPipeline(args.use_frozen, cfg)
+        # the blob bakes depth/approach/camera — artifacts and annotations
+        # must describe what was actually computed
+        cfg = pipe.config
     else:
         pipe = common.build_pipeline(
             cfg, args.semantic_model, args.monodepth_checkpoint,

@@ -101,6 +101,9 @@ def main(argv=None):
     cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
     if args.use_frozen:
         pipe = common.FrozenPipeline(args.use_frozen, cfg)
+        # the blob bakes depth/approach/camera — artifacts and annotations
+        # must describe what was actually computed
+        cfg = pipe.config
     else:
         pipe = common.build_pipeline(
             cfg, args.semantic_model, args.monodepth_checkpoint,
@@ -137,9 +140,16 @@ def main(argv=None):
             if not batch_items:
                 return
             names, hws, imgs = zip(*batch_items)
+            imgs = list(imgs)
+            if args.use_frozen and len(imgs) < args.batch:
+                # a frozen blob is shape-specialized to --batch N: pad ragged
+                # tails by repeating the last frame and drop the padding in
+                # drain (names/hws keep only the real frames)
+                imgs += [imgs[-1]] * (args.batch - len(imgs))
             # ship uint8 — 4x less host->device traffic; the fused program
             # casts on device (pipeline.py frames.astype)
             outs = pipe.process_batch(np.stack(imgs))
+            common.require_dense_outputs(outs, "the sequence artifact suite")
             pending.append((names, hws, outs))
             while len(pending) > 1:
                 drain(pending.pop(0))

@@ -99,3 +99,49 @@ def test_load_bench_weights_training_failure_falls_back(monkeypatch, tmp_path):
     _, _, mode = bench._load_bench_weights(fcn, mono, 128, 256, logs.append)
     assert mode == "random"
     assert any("training failed" in m for m in logs)
+
+
+def test_ensure_bench_weights_training_path_runs(tmp_path, monkeypatch):
+    """Exercise ensure_bench_weights past the cache check into the training
+    branch (with the heavy trainers stubbed): a refactor once left a
+    NameError on the very first log line of that branch, which bench.py's
+    fallback silently converted into a random-weight benchmark run."""
+    import tools.train_bench_weights as tbw
+
+    logs = []
+    dummy = {"params": {}}
+    saved = []
+
+    def fake_train_fcn(*a, **k):
+        return dummy
+
+    def fake_train_mono(*a, **k):
+        return dummy
+
+    class FakeWeightsLib:
+        @staticmethod
+        def save_params(params, path):
+            open(path, "wb").write(b"x")
+            saved.append(path)
+            return path
+
+    monkeypatch.setattr(tbw, "train_fcn", fake_train_fcn)
+    monkeypatch.setattr(tbw, "train_mono", fake_train_mono)
+
+    import semantic_depth_tpu.models.weights as weights_lib
+
+    monkeypatch.setattr(weights_lib, "save_params", FakeWeightsLib.save_params)
+    # the native/full-res branches graft from the headline set: stub the
+    # loader too (the fake files aren't real msgpack)
+    monkeypatch.setattr(weights_lib, "load_params", lambda t, p2: dummy)
+
+    for kwargs, suffix in (
+        ({}, ""),
+        ({"native": True}, "_native"),
+    ):
+        fp, mp = tbw.ensure_bench_weights(
+            str(tmp_path), log=logs.append, **kwargs
+        )
+        assert os.path.exists(fp) and os.path.exists(mp)
+        assert fp.endswith(f"fcn8s{suffix}.msgpack")
+    assert any("training FCN-8s" in m for m in logs)

@@ -286,6 +286,9 @@ def ensure_bench_weights(
     os.makedirs(out_dir, exist_ok=True)
     if native:
         full_res = True  # native implies the full-res protocol
+        suffix = "_native"
+    else:
+        suffix = "_fullres" if full_res else ""
     fcn_path, mono_path = bench_weight_paths(out_dir, full_res=full_res, native=native)
     if not force and os.path.exists(fcn_path) and os.path.exists(mono_path):
         return fcn_path, mono_path
