@@ -181,6 +181,25 @@ def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
     imgs = tmp_path / "rseq" / "fz" / "result_sequence_imgs"
     assert sorted(p.name for p in imgs.iterdir()) == ["f.png"]
 
+    # batched frozen serving with a RAGGED TAIL: the blob is pinned to
+    # --batch 2 but only one frame exists — the tail is padded by repeating
+    # the last frame and the padding dropped from the artifacts
+    seqb = str(tmp_path / "seq_b2.shlo")
+    exp_cli.main([
+        "--semantic_model", "random", "--monodepth_checkpoint", "random",
+        "--input_height", "128", "--input_width", "256",
+        "--frame_height", "96", "--frame_width", "192", "--batch", "2",
+        "--output", seqb, "--dev_tiny", "--approach", "rw", "--full_outputs",
+    ])
+    seq_cli.main([
+        "--input_folder", str(tmp_path / "*.png"),
+        "--use_frozen", seqb, "--batch", "2",
+        "--input_height", "128", "--input_width", "256", "--approach", "rw",
+        "--results_dir", str(tmp_path / "rseqb"), "--output_name", "fzb",
+    ])
+    imgs_b = tmp_path / "rseqb" / "fzb" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs_b.iterdir()) == ["f.png"]
+
     # batched export: the streamed-sequence serving shape
     from semantic_depth_tpu.export import load_pipeline
 
