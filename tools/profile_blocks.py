@@ -12,40 +12,16 @@ Usage: PYTHONPATH=. python tools/profile_blocks.py [--h 1024 --w 2048 --batch 4]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(name, fn, *args, iters_outer=3, per=1, flops=None):
-    import numpy as np
+import functools
 
-    r = fn(*args)
-    np.asarray(r.ravel()[:1])
-    best = float("inf")
-    for _ in range(iters_outer):
-        t0 = time.time()
-        r = fn(*args)
-        np.asarray(r.ravel()[:1])
-        best = min(best, time.time() - t0)
-    ms = best * 1e3 / per
-    tf = f"  {flops / (best / per) / 1e12:7.1f} TF/s" if flops else ""
-    print(f"{name:48s} {ms:9.3f} ms{tf}", flush=True)
-    return best / per
+from tools._profiling import chain  # noqa: E402
+from tools._profiling import timed as _timed  # noqa: E402
 
-
-def chain(fn, k):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(*args):
-        def body(_, carry):
-            return fn(*args, carry)
-
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    return run
+timed = functools.partial(_timed, width=48)
 
 
 def main():

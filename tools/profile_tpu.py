@@ -9,46 +9,16 @@ Usage: PYTHONPATH=. python tools/profile_tpu.py [--full_res] [--iters K]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def jax_leaf(tree):
-    import jax
+import functools
 
-    leaves = jax.tree_util.tree_leaves(tree)
-    return leaves[0].ravel()[:1]
+from tools._profiling import chain, jax_leaf  # noqa: E402
+from tools._profiling import timed as _timed  # noqa: E402
 
-
-def timed(name, fn, *args, iters_outer=3, per=1):
-    import numpy as np
-
-    r = fn(*args)  # warmup/compile
-    np.asarray(jax_leaf(r))
-    best = float("inf")
-    for _ in range(iters_outer):
-        t0 = time.time()
-        r = fn(*args)
-        np.asarray(jax_leaf(r))
-        best = min(best, time.time() - t0)
-    print(f"{name:56s} {best * 1e3 / per:9.3f} ms/call", flush=True)
-    return best / per
-
-
-def chain(fn, k):
-    """Run fn k times with a data-dependence carry, inside one jit."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(*args):
-        def body(_, carry):
-            return fn(*args, carry)
-
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    return run
+timed = functools.partial(_timed, width=56)
 
 
 def main():
