@@ -8,12 +8,22 @@ exists upstream); this subsystem is a new TPU-native capability. Design:
   scale-out for both training and the streamed sequence path;
 * **tensor parallelism** over the fat fc6/fc7 channels of the FCN-8s encoder
   (`tp` mesh axis) — the only layers big enough to be worth sharding;
+* **spatial parallelism** over image rows (`sp` mesh axis,
+  `make_spatial_mesh`) — single-frame latency scaling for the full-res
+  path: the conv trunks partition with GSPMD halo exchanges (the workload's
+  sequence-parallel analog; image rows play the sequence-length role);
 * XLA inserts the all-reduce/all-gather collectives from sharding
   annotations (GSPMD); no hand-written NCCL-style code, per the scaling-book
   recipe: pick a mesh, annotate, let the compiler place collectives on ICI.
 """
 
-from .mesh import make_mesh, shard_batch
+from .mesh import make_mesh, make_spatial_mesh, shard_batch
 from .train_step import make_sharded_train_step, shard_fcn_params
 
-__all__ = ["make_mesh", "shard_batch", "make_sharded_train_step", "shard_fcn_params"]
+__all__ = [
+    "make_mesh",
+    "make_spatial_mesh",
+    "shard_batch",
+    "make_sharded_train_step",
+    "shard_fcn_params",
+]

@@ -1,14 +1,20 @@
-"""Data-parallel batched inference over a device mesh.
+"""Data- and spatially-parallel batched inference over a device mesh.
 
-Shards the fused ``process_batch`` program over the 'dp' mesh axis: each
-device runs the complete per-frame pipeline on its shard of the frame batch
-(the geometry chain is embarrassingly frame-parallel), params replicated.
-XLA partitions the whole program from the input shardings alone — no
-collectives are needed until results are gathered.
+Shards the fused ``process_batch`` program from its input shardings alone —
+GSPMD partitions the whole traced program, no hand-written collectives:
 
-This is a new capability over the strictly single-GPU reference
-(SURVEY.md §2 parallelism inventory): frame throughput scales with chips on
-one ICI domain.
+* 'dp' (throughput): each device runs the complete per-frame pipeline on its
+  shard of the frame batch (the geometry chain is embarrassingly
+  frame-parallel), params replicated. Zero collectives until results gather.
+* 'sp' (latency, ``make_spatial_mesh``): the image ROW axis is sharded, so
+  the convolution trunks — 83%+ of frame time (DESIGN.md 4d) — run
+  spatially partitioned with GSPMD-inserted halo exchanges riding ICI.
+  Global stages (the resize contraction, cloud compaction, medians) gather
+  as needed; they are a small slice of the program. This is the workload's
+  sequence-parallelism analog (image rows ~ sequence length, SURVEY.md §5).
+
+Both are new capabilities over the strictly single-GPU reference
+(SURVEY.md §2 parallelism inventory).
 """
 
 from __future__ import annotations
@@ -23,17 +29,24 @@ from ..pipeline import SemanticDepthPipeline
 
 
 class ShardedPipeline:
-    """Wraps a SemanticDepthPipeline for dp-sharded batch processing.
+    """Wraps a SemanticDepthPipeline for mesh-sharded batch processing.
 
-    batch size must be a multiple of mesh.shape['dp']; every leaf of the
-    returned FrameOutputs keeps its leading batch axis sharded over 'dp'.
+    The frame batch axis is sharded over the mesh's 'dp' axis and (when the
+    mesh has one — ``make_spatial_mesh``) the image row axis over 'sp'.
+    batch size must be a multiple of mesh.shape['dp'] and the input frame
+    height a multiple of mesh.shape['sp']; every leaf of the returned
+    FrameOutputs keeps its leading batch axis sharded over 'dp'.
     """
 
     def __init__(self, pipeline: SemanticDepthPipeline, mesh: Mesh):
         self.pipeline = pipeline
         self.mesh = mesh
         repl = NamedSharding(mesh, P())
-        batched = NamedSharding(mesh, P("dp"))
+        self._frame_spec = P(
+            "dp" if "dp" in mesh.axis_names else None,
+            "sp" if "sp" in mesh.axis_names else None,
+        )
+        batched = NamedSharding(mesh, self._frame_spec)
         self._params = (
             jax.tree.map(lambda x: jax.device_put(x, repl), pipeline.fcn_params),
             jax.tree.map(lambda x: jax.device_put(x, repl), pipeline.mono_params),
@@ -56,11 +69,16 @@ class ShardedPipeline:
         focal, disparity_mult = resolve_frame_scalars(
             self.pipeline.config, frames.shape[2], focal, disparity_mult
         )
-        dp = self.mesh.shape["dp"]
+        dp = self.mesh.shape.get("dp", 1)
         if frames.shape[0] % dp != 0:
             raise ValueError(f"batch {frames.shape[0]} not divisible by dp={dp}")
+        sp = self.mesh.shape.get("sp", 1)
+        if frames.shape[1] % sp != 0:
+            raise ValueError(
+                f"frame height {frames.shape[1]} not divisible by sp={sp}"
+            )
         frames = jax.device_put(
-            jnp.asarray(frames), NamedSharding(self.mesh, P("dp"))
+            jnp.asarray(frames), NamedSharding(self.mesh, self._frame_spec)
         )
         fcn_p, mono_p = self._params
         with self.mesh:

@@ -27,6 +27,28 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_spatial_mesh(
+    n_devices: Optional[int] = None, dp: Optional[int] = None, sp: Optional[int] = None
+) -> Mesh:
+    """Build a (dp, sp) mesh for latency-oriented inference: 'sp' shards the
+    image ROW axis of a frame across chips (GSPMD inserts conv halo
+    exchanges), 'dp' shards the frame batch. Defaults to all devices spatial
+    (dp=1) — the single-frame-latency configuration. This is the workload's
+    sequence-parallelism analog (SURVEY.md §5: resolution is the "sequence
+    length" here); the reference is strictly single-GPU."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if sp is None:
+        sp = n if dp is None else n // dp
+    if dp is None:
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(f"dp*sp = {dp}*{sp} != n_devices {n}")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a batch pytree with the leading axis split over 'dp' (replicated
     over 'tp')."""

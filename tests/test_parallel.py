@@ -117,6 +117,73 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_inference_matches_single_device():
+    """(dp, sp) mesh: image rows sharded over 'sp' (GSPMD conv halo
+    exchanges), batch over 'dp' — must agree with the single-device program
+    on both the standard and the native input_s2d architectures."""
+    import dataclasses
+
+    from semantic_depth_tpu.config import munich_pipeline_config
+    from semantic_depth_tpu.models import Monodepth
+    from semantic_depth_tpu.parallel import make_spatial_mesh
+    from semantic_depth_tpu.parallel.inference import ShardedPipeline
+    from semantic_depth_tpu.pipeline import SemanticDepthPipeline
+
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        input_height=128, input_width=256, approach="rw",
+        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    mono = Monodepth(encoder="vgg", width_mult=0.0625)
+    fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)))
+    mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3)))
+    pipe = SemanticDepthPipeline(cfg, fp, mp, fcn=fcn, mono=mono)
+
+    mesh = make_spatial_mesh(8, dp=2, sp=4)
+    assert mesh.shape == {"dp": 2, "sp": 4}
+    sharded = ShardedPipeline(pipe, mesh)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(2, 256, 512, 3)).astype(np.uint8)
+    out_sp = sharded.process_batch(frames)
+    out_1 = pipe.process_batch(frames)
+    np.testing.assert_allclose(
+        np.asarray(out_sp.disparity), np.asarray(out_1.disparity),
+        rtol=1e-5, atol=1e-5,
+    )
+    a, b = np.asarray(out_sp.dist_rw), np.asarray(out_1.dist_rw)
+    both_nan = np.isnan(a) & np.isnan(b)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-4)
+
+    # frame height not divisible by sp -> usable error
+    with pytest.raises(ValueError, match="sp=4"):
+        sharded.process_batch(frames[:, :250])
+
+    # the native input_s2d variant (the full-res mode's architecture) on an
+    # all-spatial mesh — single-frame latency configuration
+    ncfg = dataclasses.replace(
+        cfg, input_height=256, input_width=512,
+        monodepth=dataclasses.replace(cfg.monodepth, flip_average=False),
+    )
+    fcn_n = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32, input_s2d=True)
+    mono_n = Monodepth(encoder="vgg", width_mult=0.0625, input_s2d=True)
+    fpn = fcn_n.init(jax.random.PRNGKey(2), jnp.zeros((1, 256, 512, 3)))
+    mpn = mono_n.init(jax.random.PRNGKey(3), jnp.zeros((2, 256, 512, 3)))
+    pipe_n = SemanticDepthPipeline(ncfg, fpn, mpn, fcn=fcn_n, mono=mono_n)
+    mesh_n = make_spatial_mesh(8)
+    assert mesh_n.shape == {"dp": 1, "sp": 8}
+    sharded_n = ShardedPipeline(pipe_n, mesh_n)
+    frames_n = rng.integers(0, 256, size=(1, 256, 512, 3)).astype(np.uint8)
+    out_nsp = sharded_n.process_batch(frames_n)
+    out_n1 = pipe_n.process_batch(frames_n)
+    np.testing.assert_allclose(
+        np.asarray(out_nsp.disparity), np.asarray(out_n1.disparity),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_graft_entry_traces():
     """entry() must be jit-traceable with its example args (eval_shape only —
     full-size nets are too slow to actually compile in CI)."""
