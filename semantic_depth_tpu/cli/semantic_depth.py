@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="use the input_s2d native full-resolution variants "
                         "(space-to-depth packed trunks; needs a matching "
                         "trained weight set, e.g. .bench_weights/*_native)")
+    p.add_argument("--mesh", choices=("sp",), default=None,
+                   help="shard each frame's image rows over all visible "
+                        "chips (spatial partitioning, GSPMD conv halo "
+                        "exchanges) — single-frame latency scaling; frame "
+                        "height must divide the device count")
     return p
 
 
@@ -205,6 +210,10 @@ def main(argv=None):
                 "--profile_stages needs the live pipeline; the frozen "
                 "artifact is one opaque program"
             )
+        if args.mesh:
+            raise SystemExit("--mesh cannot serve a frozen export "
+                             "(the blob is compiled single-device); "
+                             "drop --use_frozen or --mesh")
         pipe = common.FrozenPipeline(args.use_frozen, cfg)
         # the blob bakes depth/approach/camera — artifacts and annotations
         # must describe what was actually computed
@@ -214,6 +223,14 @@ def main(argv=None):
             cfg, args.semantic_model, args.monodepth_checkpoint,
             tiny=args.dev_tiny, native_s2d=args.native_s2d,
         )
+    if args.mesh:
+        if args.profile_stages:
+            raise SystemExit("--profile_stages times the single-device "
+                             "stage programs; drop it or --mesh")
+        from ..parallel import make_spatial_mesh
+        from ..parallel.inference import ShardedPipeline
+
+        pipe = ShardedPipeline(pipe, make_spatial_mesh())
 
     if args.input_frame:
         print("##########################################################")

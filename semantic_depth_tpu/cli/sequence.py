@@ -58,6 +58,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="use the input_s2d native full-resolution variants "
                         "(space-to-depth packed trunks; needs a matching "
                         "trained weight set, e.g. .bench_weights/*_native)")
+    p.add_argument("--mesh", choices=("dp", "sp"), default=None,
+                   help="shard the fused program over all visible chips "
+                        "(parallel/inference.py): 'dp' = frames over the "
+                        "batch axis (throughput; --batch must be a multiple "
+                        "of the device count), 'sp' = image rows within each "
+                        "frame (latency; frame height must divide evenly)")
     return p
 
 
@@ -100,6 +106,10 @@ def main(argv=None):
     )
     cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
     if args.use_frozen:
+        if args.mesh:
+            raise SystemExit("--mesh cannot serve a frozen export "
+                             "(the blob is compiled single-device); "
+                             "drop --use_frozen or --mesh")
         pipe = common.FrozenPipeline(args.use_frozen, cfg)
         # the blob bakes depth/approach/camera — artifacts and annotations
         # must describe what was actually computed
@@ -109,6 +119,23 @@ def main(argv=None):
             cfg, args.semantic_model, args.monodepth_checkpoint,
             tiny=args.dev_tiny, native_s2d=args.native_s2d,
         )
+    if args.mesh:
+        import jax
+
+        from ..parallel import make_mesh, make_spatial_mesh
+        from ..parallel.inference import ShardedPipeline
+
+        n = len(jax.devices())
+        if args.mesh == "dp":
+            if args.batch % n != 0:
+                raise SystemExit(
+                    f"--mesh dp shards the batch over {n} devices; "
+                    f"--batch {args.batch} must be a multiple of {n}"
+                )
+            mesh = make_mesh(n, dp=n, tp=1)
+        else:
+            mesh = make_spatial_mesh(n)
+        pipe = ShardedPipeline(pipe, mesh)
 
     out_root = os.path.join(args.results_dir, args.output_name)
     result_images_dir = os.path.join(out_root, "result_sequence_imgs")
@@ -128,11 +155,12 @@ def main(argv=None):
             print(f"WARNING: skipping unreadable frame {path}: {e}")
             return None
 
-    if args.batch > 1:
+    if args.batch > 1 or args.mesh:
         # Streamed batch mode: B frames per fused device dispatch (the
         # process_batch path the bench uses); one dispatch amortizes all
         # per-call overheads. Frames in one batch must share a resolution
-        # (sequences do); ragged tails run as smaller batches.
+        # (sequences do); ragged tails run as smaller batches. --mesh always
+        # takes this path (the sharded program is a batch program).
         pending = []  # (names, hws, batched FrameOutputs)
         import jax
 
@@ -141,10 +169,11 @@ def main(argv=None):
                 return
             names, hws, imgs = zip(*batch_items)
             imgs = list(imgs)
-            if args.use_frozen and len(imgs) < args.batch:
-                # a frozen blob is shape-specialized to --batch N: pad ragged
-                # tails by repeating the last frame and drop the padding in
-                # drain (names/hws keep only the real frames)
+            if (args.use_frozen or args.mesh) and len(imgs) < args.batch:
+                # a frozen blob is shape-specialized to --batch N, and a
+                # dp-sharded program needs device-count-divisible batches:
+                # pad ragged tails by repeating the last frame and drop the
+                # padding in drain (names/hws keep only the real frames)
                 imgs += [imgs[-1]] * (args.batch - len(imgs))
             # ship uint8 — 4x less host->device traffic; the fused program
             # casts on device (pipeline.py frames.astype)

@@ -17,10 +17,12 @@ exists upstream); this subsystem is a new TPU-native capability. Design:
   recipe: pick a mesh, annotate, let the compiler place collectives on ICI.
 """
 
+from .inference import ShardedPipeline
 from .mesh import make_mesh, make_spatial_mesh, shard_batch
 from .train_step import make_sharded_train_step, shard_fcn_params
 
 __all__ = [
+    "ShardedPipeline",
     "make_mesh",
     "make_spatial_mesh",
     "shard_batch",

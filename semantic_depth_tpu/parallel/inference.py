@@ -85,3 +85,12 @@ class ShardedPipeline:
             return self._fn(
                 fcn_p, mono_p, frames, jnp.float32(focal), jnp.float32(disparity_mult)
             )
+
+    def process_frame(self, frame, focal: Optional[float] = None,
+                      disparity_mult: Optional[float] = None):
+        """Single-frame latency mode: the batch-1 program with image rows
+        sharded over 'sp' (use ``make_spatial_mesh`` — a dp>1 mesh cannot
+        split one frame). Returns unbatched FrameOutputs like
+        ``SemanticDepthPipeline.process_frame``."""
+        out = self.process_batch(jnp.asarray(frame)[None], focal, disparity_mult)
+        return jax.tree.map(lambda x: x[0], out)

@@ -111,6 +111,75 @@ def test_sequence_cli_native_s2d(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
 
 
+def test_sequence_cli_mesh_sharded(tmp_path, frame_dir, monkeypatch):
+    """--mesh serves the sequence from the GSPMD-sharded program: 'sp'
+    shards image rows across all 8 virtual devices (latency mode, batch 1),
+    'dp' shards the frame batch (throughput mode) and pads the ragged
+    2-frame tail to the device-divisible --batch. Artifacts must match the
+    single-device suite's."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    from semantic_depth_tpu.cli import sequence as cli
+
+    base = [
+        "--input_folder", str(frame_dir / "*.png"),
+        "--semantic_model", "random",
+        "--monodepth_checkpoint", "random",
+        "--input_height", "128",
+        "--input_width", "256",
+        "--dev_tiny",
+        "--results_dir", str(tmp_path / "results"),
+    ]
+    cli.main(base + ["--mesh", "sp", "--output_name", "seq_sp"])
+    imgs = tmp_path / "results" / "seq_sp" / "result_sequence_imgs"
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+
+    cli.main(base + ["--mesh", "dp", "--batch", "8", "--output_name", "seq_dp"])
+    imgs = tmp_path / "results" / "seq_dp" / "result_sequence_imgs"
+    plys = tmp_path / "results" / "seq_dp" / "result_sequence_ply"
+    # padding frames must not leak into the artifact suite
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+    assert sorted(p.name for p in plys.iterdir()) == ["test_1_rw.ply", "test_2_rw.ply"]
+
+    # indivisible --batch under dp is a usable error, not a shard crash
+    with pytest.raises(SystemExit, match="multiple"):
+        cli.main(base + ["--mesh", "dp", "--batch", "3", "--output_name", "x"])
+    # frozen serving is single-device by construction
+    with pytest.raises(SystemExit, match="frozen"):
+        cli.main(base + ["--mesh", "sp", "--use_frozen", "blob", "--output_name", "x"])
+
+    # the single-frame entry's latency mode: sp-sharded full artifact suite
+    from semantic_depth_tpu.cli import semantic_depth as sd_cli
+
+    sd_cli.main(
+        [
+            "--input_frame", str(frame_dir / "test_1.png"),
+            "--semantic_model", "random",
+            "--monodepth_checkpoint", "random",
+            "--input_height", "128",
+            "--input_width", "256",
+            "--save_data",
+            "--dev_tiny",
+            "--mesh", "sp",
+            "--results_dir", str(tmp_path / "results_sp1"),
+        ]
+    )
+    out_dir = tmp_path / "results_sp1" / "test_1"
+    for suffix in [".png", "_ROAD.ply", "_times.txt", "_distances.txt"]:
+        assert (out_dir / f"test_1_output{suffix}").exists(), suffix
+    with pytest.raises(SystemExit, match="profile_stages"):
+        sd_cli.main(
+            [
+                "--input_frame", str(frame_dir / "test_1.png"),
+                "--semantic_model", "random", "--monodepth_checkpoint", "random",
+                "--dev_tiny", "--mesh", "sp", "--profile_stages",
+            ]
+        )
+
+
 def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
     """cli.export_pipeline -> semantic_depth --use_frozen round trip: the
     optimized_graph.pb workflow (semantic_depth.py:472-513) with StableHLO.
