@@ -141,14 +141,16 @@ def _run_trials(pipe, batches, n_batches_per_trial, trials):
     fps_samples = []
     for _ in range(trials):
         t0 = time.time()
-        results = [
-            pipe.process_batch(batches[i % len(batches)])
+        # Keep only the dist_rw handle per batch: dispatch stays fully async
+        # but the big FrameOutputs buffers (clouds, overlays, disparity) are
+        # released as soon as each program finishes instead of accumulating
+        # across the whole trial — at full res that is ~GBs of HBM.
+        dists = [
+            pipe.process_batch(batches[i % len(batches)]).dist_rw
             for i in range(n_batches_per_trial)
         ]
-        scalars = [
-            np.asarray(r.dist_rw) for r in results
-        ]  # one small transfer per batch
-        del scalars
+        scalars = [np.asarray(d) for d in dists]  # one small transfer per batch
+        del dists, scalars
         dt = time.time() - t0
         fps_samples.append(batch * n_batches_per_trial / dt)
     fps = np.asarray(fps_samples)
@@ -161,15 +163,18 @@ def _accuracy(pipe, batches, rw_true, f2f_true=None):
     distinct pool scenes (one pass)."""
     import numpy as np
 
-    outs = [pipe.process_batch(b) for b in batches]
-    widths = np.concatenate([np.asarray(o.dist_rw) for o in outs])
+    # retain only the two scalar vectors per batch (not whole FrameOutputs)
+    outs = [
+        (o.dist_rw, o.dist_f2f) for o in (pipe.process_batch(b) for b in batches)
+    ]
+    widths = np.concatenate([np.asarray(o[0]) for o in outs])
     rw_true = np.asarray(rw_true)[: widths.size]
     finite = np.isfinite(widths)
     finite_frac = float(finite.mean())
     mae = float(np.abs(widths[finite] - rw_true[finite]).mean()) if finite.any() else None
     f2f_mae = None
     if f2f_true is not None:
-        f2f = np.concatenate([np.asarray(o.dist_f2f) for o in outs])
+        f2f = np.concatenate([np.asarray(o[1]) for o in outs])
         f2f_true = np.asarray(f2f_true)[: f2f.size]
         ff = np.isfinite(f2f)
         f2f_mae = float(np.abs(f2f[ff] - f2f_true[ff]).mean()) if ff.any() else None
@@ -274,9 +279,16 @@ def main():
     # Free the headline pipeline's device state first: the full-res program's
     # peak live set (bf16 encoder pyramids + f32 geometry planes at 16x the
     # pixels) plus a second full weight set does not fit 16 GB HBM alongside
-    # the batch-8 pool.
+    # the batch-8 pool. gc + clear_caches drop lingering executables and any
+    # device constants they captured — without this the from-scratch run
+    # (which also TRAINS the full-res sets in-process) RESOURCE_EXHAUSTs.
+    import gc
+
     del batches
     del pipe
+    del fcn_params, mono_params
+    gc.collect()
+    jax.clear_caches()
     cfg_fr = munich_pipeline_config(
         compute_dtype="bfloat16", input_height=1024, input_width=2048
     )
@@ -333,9 +345,13 @@ def main():
         except Exception as e:  # full-res is a capability line, not the headline
             log(f"native full-res bench at batch {fr_batch} skipped: "
                 f"{type(e).__name__}: {e}")
+            gc.collect()
+            jax.clear_caches()  # drop the failed attempt's device state
 
     # The DENSE path (unmodified reference architecture at 1024x2048),
     # reported for transparency next to the native number.
+    gc.collect()
+    jax.clear_caches()  # the native leg's executables/constants
     full_res_dense_fps = None
     fr_dense_mode = None
     try:

@@ -58,12 +58,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="use the input_s2d native full-resolution variants "
                         "(space-to-depth packed trunks; needs a matching "
                         "trained weight set, e.g. .bench_weights/*_native)")
-    p.add_argument("--mesh", choices=("dp", "sp"), default=None,
+    p.add_argument("--mesh", choices=("dp", "sp", "pp"), default=None,
                    help="shard the fused program over all visible chips "
-                        "(parallel/inference.py): 'dp' = frames over the "
-                        "batch axis (throughput; --batch must be a multiple "
-                        "of the device count), 'sp' = image rows within each "
-                        "frame (latency; frame height must divide evenly)")
+                        "(parallel/inference.py, pp.py): 'dp' = frames over "
+                        "the batch axis (throughput; --batch must be a "
+                        "multiple of the device count), 'sp' = image rows "
+                        "within each frame (latency; frame height must "
+                        "divide evenly), 'pp' = GPipe-style staged serving "
+                        "(FCN / monodepth+geometry on different chips, "
+                        "microbatches streaming over the ICI ring; --batch "
+                        "must be a multiple of the device count)")
     return p
 
 
@@ -133,9 +137,24 @@ def main(argv=None):
                     f"--batch {args.batch} must be a multiple of {n}"
                 )
             mesh = make_mesh(n, dp=n, tp=1)
+            pipe = ShardedPipeline(pipe, mesh)
+        elif args.mesh == "pp":
+            from ..parallel import PipelinedPipeline, make_pp_mesh
+
+            if n < 2 or n % 2 != 0:
+                raise SystemExit(
+                    f"--mesh pp stages the pipeline across chips; needs an "
+                    f"even device count >= 2, got {n}"
+                )
+            if args.batch % n != 0:
+                raise SystemExit(
+                    f"--mesh pp microbatches over dp={n // 2} devices x 2 "
+                    f"stages; --batch {args.batch} must be a multiple of {n}"
+                )
+            pipe = PipelinedPipeline(pipe, make_pp_mesh(n, dp=n // 2, pp=2))
         else:
             mesh = make_spatial_mesh(n)
-        pipe = ShardedPipeline(pipe, mesh)
+            pipe = ShardedPipeline(pipe, mesh)
 
     out_root = os.path.join(args.results_dir, args.output_name)
     result_images_dir = os.path.join(out_root, "result_sequence_imgs")

@@ -12,19 +12,30 @@ exists upstream); this subsystem is a new TPU-native capability. Design:
   `make_spatial_mesh`) — single-frame latency scaling for the full-res
   path: the conv trunks partition with GSPMD halo exchanges (the workload's
   sequence-parallel analog; image rows play the sequence-length role);
+* **pipeline parallelism** over the program's stages (`pp` mesh axis,
+  `make_pp_mesh` + `PipelinedPipeline`) — GPipe-style microbatch streaming
+  with `shard_map` + `lax.ppermute` ring shifts (a schedule, not a
+  sharding, so it cannot be GSPMD'd from annotations alone — pp.py);
 * XLA inserts the all-reduce/all-gather collectives from sharding
-  annotations (GSPMD); no hand-written NCCL-style code, per the scaling-book
-  recipe: pick a mesh, annotate, let the compiler place collectives on ICI.
+  annotations (GSPMD) everywhere else; no hand-written NCCL-style code, per
+  the scaling-book recipe: pick a mesh, annotate, let the compiler place
+  collectives on ICI.
+
+(Expert parallelism is n/a: nothing in this model family is a routed
+mixture — there is no 'ep' analog to build.)
 """
 
 from .inference import ShardedPipeline
 from .mesh import make_mesh, make_spatial_mesh, shard_batch
+from .pp import PipelinedPipeline, make_pp_mesh
 from .train_step import make_sharded_train_step, shard_fcn_params
 
 __all__ = [
     "ShardedPipeline",
+    "PipelinedPipeline",
     "make_mesh",
     "make_spatial_mesh",
+    "make_pp_mesh",
     "shard_batch",
     "make_sharded_train_step",
     "shard_fcn_params",

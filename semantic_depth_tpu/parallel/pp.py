@@ -1,0 +1,216 @@
+"""Pipeline parallelism ('pp'): GPipe-style staged serving over ICI.
+
+The fused frame program factors into three sequential stages with a uniform
+activation boundary (pipeline.py `_batch_segment` -> `_batch_disparity` ->
+`_batch_geometry`). 'pp' assigns one stage to each mesh column and STREAMS
+microbatches through them: while the geometry stage finishes microbatch t,
+the monodepth stage is on t+1 and the FCN stage on t+2 — after an S-1-step
+fill, every stage runs concurrently, and the boundary activations (resized
+frame + class masks + disparity, ~1.8 MB/frame at 256x512) hop one ICI
+neighbor per step via `lax.ppermute`.
+
+Unlike 'dp'/'sp'/'tp' (parallel/inference.py, train_step.py) this cannot be
+GSPMD-from-shardings: pipelining is a *schedule*, not a sharding, so it is
+written as a `shard_map` whose per-device program scans the microbatch clock
+and `lax.switch`es on `axis_index('pp')` to run its stage. The ring permute
+also returns the last stage's (discarded) carry to stage 0, keeping the
+collective a uniform neighbor-shift on the ICI torus.
+
+What pp buys on this workload is stage *concurrency* on a single stream —
+each chip keeps one network hot in VMEM/caches instead of alternating both
+— plus near-ideal scaling of steady-state throughput with pipeline depth
+for equal-cost stages. Params are replicated (both nets fit one chip with
+room; the binding resource here is compute, not HBM — DESIGN.md §7), so
+this is compute staging, not memory staging. Composes with 'dp' on the
+microbatch axis over a (dp, pp) mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2 parallelism inventory:
+none of dp/tp/pp/sp exists upstream); this subsystem is new capability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..pipeline import SemanticDepthPipeline, _scaled_camera, resolve_frame_scalars
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_rep)
+
+
+def make_pp_mesh(
+    n_devices: Optional[int] = None, dp: Optional[int] = None, pp: Optional[int] = None
+) -> Mesh:
+    """Build a (dp, pp) mesh. Defaults: pp=2 (FCN stage / monodepth+geometry
+    stage), dp = n / pp. pp=3 splits monodepth and geometry apart too."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if pp is None:
+        pp = n // dp if dp is not None else (2 if n % 2 == 0 and n > 1 else 1)
+    if dp is None:
+        dp = n // pp
+    if dp * pp != n:
+        raise ValueError(f"dp*pp = {dp}*{pp} != n_devices {n}")
+    arr = np.asarray(devices).reshape(dp, pp)
+    return Mesh(arr, axis_names=("dp", "pp"))
+
+
+class PipelinedPipeline:
+    """Streams microbatches of frames through per-device pipeline stages.
+
+    mesh must have a 'pp' axis of size 2 (stage 0: resize+FCN; stage 1:
+    monodepth+geometry) or 3 (monodepth and geometry split), optionally a
+    'dp' axis sharding each microbatch. ``process_stream`` takes (N, H0, W0,
+    3) frames, N a multiple of ``microbatch`` and ``microbatch`` a multiple
+    of mesh dp, and returns FrameOutputs with leading axis N — bitwise the
+    same program as ``SemanticDepthPipeline.process_batch`` per microbatch,
+    just scheduled across chips. One compile per distinct (N/microbatch,
+    microbatch, H0, W0); stream in fixed-size chunks.
+    """
+
+    def __init__(self, pipeline: SemanticDepthPipeline, mesh: Mesh):
+        if "pp" not in mesh.axis_names:
+            raise ValueError("mesh needs a 'pp' axis (make_pp_mesh)")
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.n_stages = mesh.shape["pp"]
+        if self.n_stages not in (2, 3):
+            raise ValueError(
+                f"pp={self.n_stages} unsupported: the frame program factors "
+                "into 2 or 3 stages (FCN / monodepth / geometry)"
+            )
+        frames_spec = P(None, "dp" if "dp" in mesh.axis_names else None)
+        self._fn = jax.jit(
+            shard_map(
+                self._device_program,
+                mesh=mesh,
+                in_specs=(P(), P(), frames_spec, P(), P()),
+                # leading singleton axis stacks the per-stage output copies;
+                # only [n_stages-1] (the geometry stage) is real.
+                out_specs=P("pp", None, "dp"),
+                check_rep=False,  # ppermute: per-device values diverge
+            )
+        )
+
+    # --- the per-device SPMD program --------------------------------------
+    def _device_program(self, fcn_p, mono_p, frames_stack, focal, dmult):
+        """frames_stack: (T, mb_local, H0, W0, 3); runs T + S - 1 clock steps.
+        At step t, stage s works on microbatch t - s; boundaries rotate one
+        'pp' neighbor per step."""
+        pipe = self.pipeline
+        cfg = pipe.config
+        S = self.n_stages
+        sidx = jax.lax.axis_index("pp")
+        cam, s_w = _scaled_camera(cfg, focal)
+        dm = dmult * s_w
+        T, mb = frames_stack.shape[0], frames_stack.shape[1]
+        h, w = cfg.input_height, cfg.input_width
+
+        zero_bnd = dict(
+            small=jnp.zeros((mb, h, w, 3), jnp.float32),
+            road=jnp.zeros((mb, h, w), bool),
+            fence=jnp.zeros((mb, h, w), bool),
+            disp=jnp.zeros((mb, h, w), jnp.float32),
+        )
+
+        def geom(bnd):
+            return pipe._batch_geometry(bnd["small"], bnd["road"], bnd["fence"],
+                                        bnd["disp"], cam)
+
+        out_shapes = jax.eval_shape(geom, zero_bnd)
+        zero_out = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+
+        def fcn_stage(bnd, t):
+            # t is clamped: the drain steps (t >= T) compute a throwaway
+            # microbatch that never reaches the geometry stage.
+            frames = jax.lax.dynamic_index_in_dim(
+                frames_stack, jnp.clip(t, 0, T - 1), 0, keepdims=False
+            )
+            small, road, fence = pipe._batch_segment(fcn_p, frames)
+            return dict(small=small, road=road, fence=fence,
+                        disp=zero_bnd["disp"]), zero_out
+
+        def mono_stage(bnd, t):
+            disp = pipe._batch_disparity(mono_p, bnd["small"], dm)
+            return dict(bnd, disp=disp), zero_out
+
+        def fused_tail_stage(bnd, t):  # S == 2: monodepth + geometry together
+            disp = pipe._batch_disparity(mono_p, bnd["small"], dm)
+            return zero_bnd, geom(dict(bnd, disp=disp))
+
+        def geom_stage(bnd, t):
+            return zero_bnd, geom(bnd)
+
+        branches = (
+            [fcn_stage, fused_tail_stage]
+            if S == 2
+            else [fcn_stage, mono_stage, geom_stage]
+        )
+        ring = [(i, (i + 1) % S) for i in range(S)]
+
+        def step(bnd, t):
+            new_bnd, outs = jax.lax.switch(sidx, branches, bnd, t)
+            return jax.lax.ppermute(new_bnd, "pp", ring), outs
+
+        _, ys = jax.lax.scan(step, zero_bnd, jnp.arange(T + S - 1))
+        # (T+S-1, mb, ...) per device -> add the 'pp' stacking axis.
+        return jax.tree.map(lambda x: x[None], ys)
+
+    # --- host API ----------------------------------------------------------
+    def process_stream(self, frames, microbatch: int,
+                       focal: Optional[float] = None,
+                       disparity_mult: Optional[float] = None):
+        frames = jnp.asarray(frames)
+        n = frames.shape[0]
+        if n % microbatch != 0:
+            raise ValueError(f"stream length {n} not divisible by microbatch {microbatch}")
+        dp = self.mesh.shape.get("dp", 1)
+        if microbatch % dp != 0:
+            raise ValueError(f"microbatch {microbatch} not divisible by dp={dp}")
+        focal, dmult = resolve_frame_scalars(
+            self.pipeline.config, frames.shape[2], focal, disparity_mult
+        )
+        stack = frames.reshape((n // microbatch, microbatch) + frames.shape[1:])
+        with self.mesh:
+            out = self._fn(
+                self.pipeline.fcn_params, self.pipeline.mono_params, stack,
+                jnp.float32(focal), jnp.float32(dmult),
+            )
+        S = self.n_stages
+        # keep the geometry stage's copy, drop the S-1 fill steps, flatten
+        # (T, mb) -> N.
+        return jax.tree.map(
+            lambda x: x[S - 1, S - 1:].reshape((n,) + x.shape[3:]), out
+        )
+
+    def process_batch(self, frames, focal: Optional[float] = None,
+                      disparity_mult: Optional[float] = None):
+        """ShardedPipeline-compatible adapter (cli/sequence.py --mesh pp):
+        streams the batch through the stages in the largest dp-divisible
+        microbatch that still yields >= n_stages microbatches, so every
+        stage is busy in steady state."""
+        frames = jnp.asarray(frames)
+        n = frames.shape[0]
+        dp = self.mesh.shape.get("dp", 1)
+        if n % dp != 0:
+            raise ValueError(f"batch {n} not divisible by dp={dp}")
+        mb = max(dp, (n // (self.n_stages * dp)) * dp)
+        while n % mb:
+            mb -= dp
+        return self.process_stream(frames, mb, focal, disparity_mult)

@@ -369,33 +369,47 @@ class SemanticDepthPipeline:
         utilization than B separate batch-2 calls); the geometry chain is
         vmapped. This is the streamed video batch path (BASELINE.json) the
         reference lacks (its sequence loop is strictly one-by-one,
-        seq:689-701)."""
+        seq:689-701). Composed from the three batch stages below so the
+        pipeline-parallel scheduler (parallel/pp.py) runs the exact same
+        code, just on different devices."""
+        cfg = self.config
+        cam, s_w = _scaled_camera(cfg, focal)
+        small, road_masks, fence_masks = self._batch_segment(fcn_params, frames)
+        disps = self._batch_disparity(mono_params, small, disparity_mult * s_w)
+        return self._batch_geometry(small, road_masks, fence_masks, disps, cam)
+
+    # --- the three batch stages (also the pp stage boundaries) ------------
+    def _batch_segment(self, fcn_params: Any, frames: jnp.ndarray):
+        """Resize + FCN-8s forward + 0.5-threshold masks for a frame batch.
+        Returns (small f32 (B,h,w,3) 0..255, road_masks, fence_masks)."""
         cfg = self.config
         h, w = cfg.input_height, cfg.input_width
-        cam, s_w = _scaled_camera(cfg, focal)
-
         frames = frames.astype(jnp.float32)  # uint8 camera payloads welcome
         small = jax.vmap(lambda f: resize_clip_u8(f, (h, w)))(frames)  # (B, h, w, 3)
-        b = small.shape[0]
-
         logits = self.fcn.apply(fcn_params, small)
         probs = jax.nn.softmax(logits, axis=-1)
         thr = cfg.segmenter.threshold
-        road_masks = probs[..., 0] > thr
-        fence_masks = probs[..., 1] > thr
+        return small, probs[..., 0] > thr, probs[..., 1] > thr
 
+    def _batch_disparity(
+        self, mono_params: Any, small: jnp.ndarray, disparity_mult: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Monodepth forward for a batch of resized frames; disparity_mult
+        must already carry the width factor (``_scaled_camera``'s s_w)."""
+        cfg = self.config
+        b = small.shape[0]
         norm = small.astype(jnp.float32) / 255.0
         if cfg.monodepth.flip_average:
             flip_batch = jnp.concatenate([norm, norm[:, :, ::-1, :]], axis=0)  # (2B, h, w, 3)
             disp_all = self.mono.apply(mono_params, flip_batch, method=self.mono.disp_left)
             pairs = jnp.stack([disp_all[:b], disp_all[b:]], axis=1)  # (B, 2, h, w)
-            disps = jax.vmap(flip_average_postprocess)(pairs) * (disparity_mult * s_w)
-        else:
-            # config.MonodepthConfig.flip_average doc: the scene-trained
-            # native sets don't need the flip pass — halves the mono cost.
-            disps = self.mono.apply(mono_params, norm, method=self.mono.disp_left) * (
-                disparity_mult * s_w
-            )
+            return jax.vmap(flip_average_postprocess)(pairs) * disparity_mult
+        # config.MonodepthConfig.flip_average doc: the scene-trained
+        # native sets don't need the flip pass — halves the mono cost.
+        return self.mono.apply(mono_params, norm, method=self.mono.disp_left) * disparity_mult
+
+    def _batch_geometry(self, small, road_masks, fence_masks, disps, cam) -> FrameOutputs:
+        """The vmapped per-frame geometry tail over a batch."""
 
         def geometry(frame_small, road_mask, fence_mask, disparity):
             return self._frame_geometry(frame_small, road_mask, fence_mask,

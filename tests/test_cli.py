@@ -144,9 +144,17 @@ def test_sequence_cli_mesh_sharded(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
     assert sorted(p.name for p in plys.iterdir()) == ["test_1_rw.ply", "test_2_rw.ply"]
 
-    # indivisible --batch under dp is a usable error, not a shard crash
+    cli.main(base + ["--mesh", "pp", "--batch", "8", "--output_name", "seq_pp"])
+    imgs = tmp_path / "results" / "seq_pp" / "result_sequence_imgs"
+    plys = tmp_path / "results" / "seq_pp" / "result_sequence_ply"
+    assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
+    assert sorted(p.name for p in plys.iterdir()) == ["test_1_rw.ply", "test_2_rw.ply"]
+
+    # indivisible --batch under dp/pp is a usable error, not a shard crash
     with pytest.raises(SystemExit, match="multiple"):
         cli.main(base + ["--mesh", "dp", "--batch", "3", "--output_name", "x"])
+    with pytest.raises(SystemExit, match="multiple"):
+        cli.main(base + ["--mesh", "pp", "--batch", "12", "--output_name", "x"])
     # frozen serving is single-device by construction
     with pytest.raises(SystemExit, match="frozen"):
         cli.main(base + ["--mesh", "sp", "--use_frozen", "blob", "--output_name", "x"])

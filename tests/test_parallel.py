@@ -295,3 +295,60 @@ def test_monodepth_trainer_mesh_mode_matches_single_device():
 
     with pytest.raises(ValueError, match="multiple"):
         sharded.train_batch(left[:3], right[:3])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pipelined_inference_matches_single_device():
+    """(dp, pp) mesh: GPipe-style staged serving (parallel/pp.py) must be the
+    exact process_batch program per microbatch — FCN stage / monodepth(+
+    geometry) stage(s) streaming over the ppermute ring — at pp=2 with dp,
+    and at pp=3 (geometry split out)."""
+    import dataclasses
+
+    from semantic_depth_tpu.config import munich_pipeline_config
+    from semantic_depth_tpu.models import Monodepth
+    from semantic_depth_tpu.parallel import PipelinedPipeline, make_pp_mesh
+    from semantic_depth_tpu.pipeline import SemanticDepthPipeline
+
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        input_height=128, input_width=256, approach="rw",
+        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    mono = Monodepth(encoder="vgg", width_mult=0.0625)
+    fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)))
+    mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3)))
+    pipe = SemanticDepthPipeline(cfg, fp, mp, fcn=fcn, mono=mono)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(8, 256, 512, 3)).astype(np.uint8)
+    ref = pipe.process_batch(frames)
+
+    for pp_size, dp, mb in ((2, 4, 4), (3, 1, 2)):
+        mesh = make_pp_mesh(pp_size * dp, dp=dp, pp=pp_size)
+        assert mesh.shape == {"dp": dp, "pp": pp_size}
+        staged = PipelinedPipeline(pipe, mesh)
+        out = staged.process_stream(frames, microbatch=mb)
+        np.testing.assert_allclose(
+            np.asarray(out.disparity), np.asarray(ref.disparity),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.road_mask), np.asarray(ref.road_mask)
+        )
+        a, b = np.asarray(out.dist_rw), np.asarray(ref.dist_rw)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        both_nan = np.isnan(a) & np.isnan(b)
+        np.testing.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-4)
+
+    # usable errors on bad stream/microbatch factorization
+    staged = PipelinedPipeline(pipe, make_pp_mesh(8, dp=4, pp=2))
+    with pytest.raises(ValueError, match="microbatch"):
+        staged.process_stream(frames, microbatch=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        staged.process_stream(frames[:6], microbatch=4)
+    with pytest.raises(ValueError, match="pp"):
+        PipelinedPipeline(pipe, make_mesh(8))  # no 'pp' axis
+    with pytest.raises(ValueError, match="unsupported"):
+        PipelinedPipeline(pipe, make_pp_mesh(8, dp=2, pp=4))

@@ -333,6 +333,14 @@ def ensure_bench_weights(
     # grafted warm starts reset parts of the net -> slightly higher lr than
     # the dense fine-tune, still cosine-decayed
     lr = 1e-4 if native else (5e-5 if full_res else 1e-4)
+    # HBM hygiene between the (large) trainings: each run's params + Adam
+    # state + activation set is GBs at full res, and bench.py chains several
+    # of these in ONE process — drop refs and device caches aggressively or
+    # the later leg RESOURCE_EXHAUSTs on an otherwise-sufficient chip.
+    import gc
+
+    import jax
+
     if force or not os.path.exists(fcn_path):
         log(f"training FCN-8s{suffix} ...")
         fcn_params = train_fcn(
@@ -341,6 +349,10 @@ def ensure_bench_weights(
         )
         weights_lib.save_params(fcn_params, fcn_path)
         log(f"saved {fcn_path}")
+        del fcn_params
+    fcn_init = None
+    gc.collect()
+    jax.clear_caches()
     if force or not os.path.exists(mono_path):
         log(f"training monodepth{suffix} ...")
         mono_params = train_mono(
@@ -349,6 +361,10 @@ def ensure_bench_weights(
         )
         weights_lib.save_params(mono_params, mono_path)
         log(f"saved {mono_path}")
+        del mono_params
+    mono_init = None
+    gc.collect()
+    jax.clear_caches()
     return fcn_path, mono_path
 
 
