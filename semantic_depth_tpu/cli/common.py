@@ -306,12 +306,22 @@ class FrozenPipeline:
     (semantic_depth.py:472-513), with the whole fused program (not just the
     segmenter) in the artifact. Weights are baked in; no model code runs.
     The blob's frame shape (and batch, for batched exports) is fixed at
-    export time, like the reference's frozen graph."""
+    export time, like the reference's frozen graph.
 
-    def __init__(self, path: str, cfg: PipelineConfig):
-        from ..export import load_pipeline, load_pipeline_meta
+    mesh: optionally dp-shard a batched export over a device mesh
+    (export.load_pipeline_sharded); the served batch becomes
+    export_batch * dp, exposed as ``self.global_batch``."""
 
-        self._call = load_pipeline(path)
+    global_batch: int | None = None
+
+    def __init__(self, path: str, cfg: PipelineConfig, mesh=None):
+        from ..export import load_pipeline, load_pipeline_meta, load_pipeline_sharded
+
+        if mesh is not None:
+            self._call = load_pipeline_sharded(path, mesh)
+            self.global_batch = self._call.global_batch
+        else:
+            self._call = load_pipeline(path)
         self._path = path
         meta = load_pipeline_meta(path)
         if meta is not None:

@@ -110,11 +110,28 @@ def main(argv=None):
     )
     cfg = common.apply_encoder_override(cfg, args.monodepth_encoder)
     if args.use_frozen:
-        if args.mesh:
-            raise SystemExit("--mesh cannot serve a frozen export "
-                             "(the blob is compiled single-device); "
-                             "drop --use_frozen or --mesh")
-        pipe = common.FrozenPipeline(args.use_frozen, cfg)
+        if args.mesh and args.mesh != "dp":
+            raise SystemExit("--mesh sp/pp cannot serve a frozen export "
+                             "(the blob's program is a per-device unit; only "
+                             "batch sharding composes with it); use --mesh dp "
+                             "over a batched export, or drop --use_frozen")
+        if args.mesh == "dp":
+            import jax
+
+            from ..parallel import make_mesh
+
+            n = len(jax.devices())
+            pipe = common.FrozenPipeline(
+                args.use_frozen, cfg, mesh=make_mesh(n, dp=n, tp=1)
+            )
+            if args.batch != pipe.global_batch:
+                raise SystemExit(
+                    f"--mesh dp over this frozen export serves batch "
+                    f"{pipe.global_batch} (= export batch x {n} devices); "
+                    f"pass --batch {pipe.global_batch}"
+                )
+        else:
+            pipe = common.FrozenPipeline(args.use_frozen, cfg)
         # the blob bakes depth/approach/camera — artifacts and annotations
         # must describe what was actually computed
         cfg = pipe.config
@@ -123,7 +140,7 @@ def main(argv=None):
             cfg, args.semantic_model, args.monodepth_checkpoint,
             tiny=args.dev_tiny, native_s2d=args.native_s2d,
         )
-    if args.mesh:
+    if args.mesh and not args.use_frozen:  # frozen+dp sharded above
         import jax
 
         from ..parallel import make_mesh, make_spatial_mesh
@@ -146,10 +163,13 @@ def main(argv=None):
                     f"--mesh pp stages the pipeline across chips; needs an "
                     f"even device count >= 2, got {n}"
                 )
-            if args.batch % n != 0:
+            # the real constraint is divisibility by dp = n/2 (each micro-
+            # batch shards over the dp axis; process_batch picks the
+            # microbatch count) — batch 12 on 8 chips is fine (mb=4, T=3)
+            if args.batch % (n // 2) != 0:
                 raise SystemExit(
                     f"--mesh pp microbatches over dp={n // 2} devices x 2 "
-                    f"stages; --batch {args.batch} must be a multiple of {n}"
+                    f"stages; --batch {args.batch} must be a multiple of {n // 2}"
                 )
             pipe = PipelinedPipeline(pipe, make_pp_mesh(n, dp=n // 2, pp=2))
         else:

@@ -62,7 +62,19 @@ def make_pp_mesh(
     n = n_devices or len(devices)
     devices = devices[:n]
     if pp is None:
-        pp = n // dp if dp is not None else (2 if n % 2 == 0 and n > 1 else 1)
+        if dp is not None:
+            pp = n // dp
+        elif n % 2 == 0 and n > 1:
+            pp = 2
+        else:
+            # don't default to pp=1 and let PipelinedPipeline emit a
+            # confusing "pp=1 unsupported" error: the real problem is the
+            # device count (ADVICE r3)
+            raise ValueError(
+                f"pipeline parallelism needs an even device count to default "
+                f"to pp=2 stages; got {n} device(s) — pass dp/pp explicitly "
+                f"with pp in (2, 3)"
+            )
     if dp is None:
         dp = n // pp
     if dp * pp != n:
@@ -81,7 +93,21 @@ class PipelinedPipeline:
     of mesh dp, and returns FrameOutputs with leading axis N — bitwise the
     same program as ``SemanticDepthPipeline.process_batch`` per microbatch,
     just scheduled across chips. One compile per distinct (N/microbatch,
-    microbatch, H0, W0); stream in fixed-size chunks.
+    microbatch, H0, W0).
+
+    DO stream long sequences in fixed-size chunks (the cli's ``--batch`` is
+    exactly that), not as one giant call, for two compounding reasons:
+
+    * Output HBM: the scan stacks a full FrameOutputs PER CLOCK STEP on
+      EVERY stage device (non-final stages stack zeros of the same shape),
+      so per-device output memory is ~S*(T+S-1)/T times the useful result
+      — at 256x512 a microbatch-8 FrameOutputs is ~100 MB, so T=16 already
+      stacks ~1.7 GB/device on a 2-stage ring. Chunks bound T.
+    * Fill/drain overhead: each call spends S-1 of its T+S-1 clock steps
+      filling/draining, so efficiency is T/(T+S-1) — 89% at T=8, S=2;
+      97% at T=32. Pick the chunk so T = chunk/microbatch lands in the
+      8..32 range: big enough to amortize fill, small enough to bound the
+      stacked-output memory above.
     """
 
     def __init__(self, pipeline: SemanticDepthPipeline, mesh: Mesh):

@@ -352,3 +352,10 @@ def test_pipelined_inference_matches_single_device():
         PipelinedPipeline(pipe, make_mesh(8))  # no 'pp' axis
     with pytest.raises(ValueError, match="unsupported"):
         PipelinedPipeline(pipe, make_pp_mesh(8, dp=2, pp=4))
+    # an odd/single device count can't default to pp=2: the error must name
+    # the device-count requirement, not leave pp=1 for a confusing
+    # downstream "pp=1 unsupported" (ADVICE r3)
+    with pytest.raises(ValueError, match="even device count"):
+        make_pp_mesh(7)
+    with pytest.raises(ValueError, match="even device count"):
+        make_pp_mesh(1)

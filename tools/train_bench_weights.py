@@ -103,11 +103,17 @@ def _pools(phases, seed):
 
 
 def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
-              seed=0, init_params=None, input_s2d=False, log=print):
+              seed=0, init_params=None, input_s2d=False, log=print,
+              hook=None, hook_every=0, deadline=None):
     """Supervised FCN-8s training over the given phases (optionally warm-
     started from ``init_params`` — the full-res set initializes from the
     256x512 set; the native input_s2d set grafts every matching-shape
-    leaf)."""
+    leaf).
+
+    hook(params, global_step) fires every ``hook_every`` steps (and at the
+    end) — tools/native_mae_curve.py uses it to trace accuracy vs steps.
+    ``deadline`` (time.time() epoch) stops training early, returning the
+    params so far — bench.py's cold-cache budget guard."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -167,16 +173,23 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
             if i % 100 == 0 or i == steps - 1:
                 log(f"  fcn ph{pi} {hw} step {i}: loss {float(loss):.4f} "
                     f"({time.time()-t0:.0f}s)")
+            if hook_every and ((i + 1) % hook_every == 0 or i == steps - 1):
+                hook(params, i + 1)
+            if deadline is not None and time.time() > deadline:
+                log(f"  fcn ph{pi} deadline hit at step {i}; stopping early")
+                return params
     return params
 
 
 def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
                seed=0, road_weight=4.0, init_params=None, input_s2d=False,
-               log=print):
+               log=print, hook=None, hook_every=0, deadline=None):
     """Supervised monodepth: road-weighted multi-scale L1 on the finest-first
     left-disparity pyramid vs 2x-avg-pooled analytic targets, over
     mixed-resolution phases. The input_s2d variant's 5th (finest) scale
-    slots in transparently — the loss loop pools targets per scale."""
+    slots in transparently — the loss loop pools targets per scale.
+
+    hook/hook_every/deadline: see ``train_fcn``."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -244,6 +257,11 @@ def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
             if i % 250 == 0 or i == steps - 1:
                 log(f"  mono ph{pi} {hw} step {i}: loss {float(loss):.6f} "
                     f"({time.time()-t0:.0f}s)")
+            if hook_every and ((i + 1) % hook_every == 0 or i == steps - 1):
+                hook(params, i + 1)
+            if deadline is not None and time.time() > deadline:
+                log(f"  mono ph{pi} deadline hit at step {i}; stopping early")
+                return params
     return params
 
 
@@ -261,6 +279,14 @@ def bench_weight_paths(out_dir=".bench_weights", full_res=False, native=False):
     )
 
 
+# Conservative wall-clock estimates (s) per (fcn, mono) training, by set
+# suffix, measured on the shared dev chip (r4). ensure_bench_weights refuses
+# to START a training that cannot finish before its deadline — bench.py's
+# cold-cache guard (VERDICT r3 #1b): the driver's bench budget must never be
+# eaten by weight training; the bench falls back to labeled random weights.
+_EST_TRAIN_S = {"": (420, 420), "_fullres": (900, 900), "_native": (1500, 4200)}
+
+
 def ensure_bench_weights(
     out_dir=".bench_weights",
     seed=0,
@@ -272,6 +298,7 @@ def ensure_bench_weights(
     native=False,
     force=False,
     log=print,
+    deadline=None,
 ):
     """Return (fcn_msgpack, mono_msgpack) paths, training + caching if absent.
 
@@ -280,7 +307,12 @@ def ensure_bench_weights(
     fine-tuned from the headline set (which is ensured first);
     native=True    -> the input_s2d native-full-res set (*_native.msgpack),
     trained at 1024x2048 with every matching-shape leaf grafted from the
-    headline set (models/fcn8s.py + models/monodepth.py input_s2d docs)."""
+    headline set (models/fcn8s.py + models/monodepth.py input_s2d docs).
+
+    deadline (time.time() epoch, optional): raise TimeoutError instead of
+    starting any training estimated not to finish in the remaining budget;
+    a training already running is also hard-stopped (and still saved) at
+    the deadline."""
     from semantic_depth_tpu.models import weights as weights_lib
 
     os.makedirs(out_dir, exist_ok=True)
@@ -309,6 +341,15 @@ def ensure_bench_weights(
             t = m.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3), jnp.float32))
         return weights_lib.load_params(t, path)
 
+    fcn_est, mono_est = _EST_TRAIN_S[suffix]
+
+    def check_budget(est, what):
+        if deadline is not None and time.time() + est > deadline:
+            raise TimeoutError(
+                f"{what} training (~{est}s) does not fit the remaining "
+                f"{deadline - time.time():.0f}s bench budget"
+            )
+
     fcn_init = mono_init = None
     if full_res:
         # the native variant warm-starts from the DENSE full-res set (already
@@ -316,7 +357,7 @@ def ensure_bench_weights(
         # the headline set
         base_fcn, base_mono = ensure_bench_weights(
             out_dir, seed=seed, width_mult=width_mult, fc_channels=fc_channels,
-            full_res=native, log=log,
+            full_res=native, log=log, deadline=deadline,
         )
         fcn_init = load(base_fcn, "fcn")
         mono_init = load(base_mono, "mono")
@@ -342,10 +383,12 @@ def ensure_bench_weights(
     import jax
 
     if force or not os.path.exists(fcn_path):
+        check_budget(fcn_est, f"FCN-8s{suffix}")
         log(f"training FCN-8s{suffix} ...")
         fcn_params = train_fcn(
             fcn_ph, width_mult=width_mult, fc_channels=fc_channels, seed=seed,
             init_params=fcn_init, input_s2d=native, lr=lr, log=log,
+            deadline=deadline,
         )
         weights_lib.save_params(fcn_params, fcn_path)
         log(f"saved {fcn_path}")
@@ -354,10 +397,12 @@ def ensure_bench_weights(
     gc.collect()
     jax.clear_caches()
     if force or not os.path.exists(mono_path):
+        check_budget(mono_est, f"monodepth{suffix}")
         log(f"training monodepth{suffix} ...")
         mono_params = train_mono(
             mono_ph, width_mult=width_mult, seed=seed, init_params=mono_init,
             input_s2d=native, lr=lr, log=log,
+            deadline=deadline,
         )
         weights_lib.save_params(mono_params, mono_path)
         log(f"saved {mono_path}")
