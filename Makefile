@@ -1,10 +1,17 @@
-.PHONY: test test-fast bench dryrun native clean
+.PHONY: test test-fast test-all bench dryrun native clean
 
+# Tiering (VERDICT r3 #6): the bare `pytest tests/` default (= test-fast)
+# deselects `slow` one-off goldens AND `heavy` >1-min suites via pyproject
+# addopts — the quick inner loop. `test` adds the heavy suites (full
+# behavioral coverage); `test-all` adds the slow production-scale goldens.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow"
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/test_weights.py --ignore=tests/test_integration_mockup.py
+	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q -m ""
 
 bench:
 	python bench.py

@@ -442,6 +442,10 @@ def main():
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
 
+    # stage markers on stderr: when the driver's budget kills this process,
+    # the tail of stderr says exactly where the time went
+    log(f"[bench] start; budget {BUDGET_S:.0f}s; device {dev.device_kind}")
+
     cfg = munich_pipeline_config(compute_dtype="bfloat16")
     fcn = FCN8s(num_classes=cfg.segmenter.num_classes, compute_dtype=jnp.bfloat16)
     mono = Monodepth(encoder=cfg.monodepth.encoder, compute_dtype=jnp.bfloat16)
@@ -449,6 +453,7 @@ def main():
     fcn_params, mono_params, weight_mode = _load_bench_weights(
         fcn, mono, h, w, log, deadline=deadline
     )
+    log(f"[bench] weights ready ({weight_mode}) at {time.time()-t_start:.0f}s")
     pipe = SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
 
     n_pool = POOL_BATCHES * BATCH
@@ -457,9 +462,11 @@ def main():
         jax.device_put(jnp.asarray(pool[i * BATCH : (i + 1) * BATCH]))
         for i in range(POOL_BATCHES)
     ]
+    log(f"[bench] scene pool resident at {time.time()-t_start:.0f}s")
 
     # warmup (compile + cache) and FLOP accounting on the same executable
     _ = np.asarray(pipe.process_batch(batches[0]).dist_rw)
+    log(f"[bench] headline program warm at {time.time()-t_start:.0f}s")
     mult = jnp.float32(cfg.disparity_multiplier or 2048.0)
     batch_args = (
         pipe.fcn_params, pipe.mono_params, batches[0],
@@ -508,6 +515,7 @@ def main():
     # The safety-net record: a driver killing the process during the legs
     # below still finds this complete line in the tail of stdout.
     print(json.dumps(out), flush=True)
+    log(f"[bench] headline JSON emitted at {time.time()-t_start:.0f}s")
 
     # ---- upload-inclusive trial (VERDICT r3 #5) ----
     try:
@@ -601,6 +609,8 @@ def main():
         if time_left() < 150:
             log("native full-res leg skipped: bench budget low")
             break
+        log(f"[bench] native full-res leg (batch {fr_batch}) at "
+            f"{time.time()-t_start:.0f}s")
         try:
             full_res_fps, fr_finite, fr_mae, fr_f2f_mae, fr_mode = full_res_leg(
                 fcn_n, mono_n, native=True,

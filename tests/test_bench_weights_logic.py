@@ -101,6 +101,7 @@ def test_load_bench_weights_training_failure_falls_back(monkeypatch, tmp_path):
     assert any("training failed" in m for m in logs)
 
 
+@pytest.mark.heavy
 def test_ensure_bench_weights_training_path_runs(tmp_path, monkeypatch):
     """Exercise ensure_bench_weights past the cache check into the training
     branch (with the heavy trainers stubbed): a refactor once left a

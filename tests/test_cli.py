@@ -111,6 +111,7 @@ def test_sequence_cli_native_s2d(tmp_path, frame_dir, monkeypatch):
     assert sorted(p.name for p in imgs.iterdir()) == ["test_1.png", "test_2.png"]
 
 
+@pytest.mark.heavy
 def test_sequence_cli_mesh_sharded(tmp_path, frame_dir, monkeypatch):
     """--mesh serves the sequence from the GSPMD-sharded program: 'sp'
     shards image rows across all 8 virtual devices (latency mode, batch 1),
@@ -297,6 +298,7 @@ def test_export_cli_and_frozen_serving(tmp_path, monkeypatch):
     assert np.asarray(out[0]).shape == (2,)  # per-frame scalars
 
 
+@pytest.mark.heavy
 def test_sharded_frozen_serving(tmp_path, frame_dir, monkeypatch):
     """--mesh dp over a BATCHED frozen export (VERDICT r3 #7): the blob's
     per-shard StableHLO program runs on each of the 8 virtual devices under

@@ -82,6 +82,7 @@ def test_monodepth_deconv_variant_shapes():
         assert d.shape == (2, 128 // 2**i, 256 // 2**i, 2), (i, d.shape)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("encoder", ["vgg", "resnet50"])
 def test_monodepth_s2d_matches_plain(encoder):
     """The space-to-depth evaluation (s2d_opt) is an exact kernel
@@ -142,6 +143,7 @@ def test_monodepth_input_s2d_pyramid():
     assert dl.shape == (1, h, w)
 
 
+@pytest.mark.heavy
 def test_input_s2d_variants_train():
     """One gradient step through both input_s2d variants (the native
     weight-set trainer's path, tools/train_bench_weights.py) must produce

@@ -66,6 +66,7 @@ def test_sharded_train_step_runs_and_matches_single_device():
     assert delta > 0
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_graft_entry_dryrun_multichip():
     import importlib.util
@@ -200,6 +201,7 @@ def test_graft_entry_traces():
     assert all(s.shape == () for s in shapes)
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_dryrun_multichip_small_counts():
     """The driver may probe various device counts; odd/small N must work."""

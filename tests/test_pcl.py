@@ -191,6 +191,7 @@ def test_compact_stride_one_is_identity_packing():
     np.testing.assert_array_equal(got_p, np.asarray(cloud.xyz)[src])
 
 
+@pytest.mark.heavy
 def test_masked_median_radix_select_fuzz():
     """The sort-free radix-select median must equal numpy exactly on
     normal-range floats (XLA flushes subnormal results to zero, so values
@@ -216,6 +217,7 @@ def test_masked_median_radix_select_fuzz():
             assert got == want, (impl.__name__, trial, got, want)
 
 
+@pytest.mark.heavy
 def test_masked_median_batched_fuzz():
     """Both batched implementations must equal per-row numpy medians."""
     import jax.numpy as jnp
