@@ -63,7 +63,15 @@ fetched in one transfer per batch.
   per-shape ceilings. ``frac_of_weighted_ceiling`` = the program's sustained
   TF/s over that ceiling — the "~85% of weighted conv roofline" argument of
   DESIGN.md 4d as recorded numbers (conservative: the sustained figure's
-  denominator includes the non-conv 17% of the program).
+  denominator includes the non-conv 17% of the program). A value > 1.0 is
+  possible and means the FUSED program outruns the sum of its isolated
+  per-shape probes: each probe pays its own dispatch/layout cost and cannot
+  overlap with neighboring ops, and on the shared dev chip the probes and
+  the headline trials can land under different external tenancy. Read the
+  probe-derived ceiling as a LOWER BOUND on what the convs can sustain,
+  and frac >= ~0.85 (including > 1) as "the conv pipeline is at or past
+  its isolated-op roofline" — i.e. XLA's fusion is recovering more than
+  the probes' overheads.
 * ``full_res_fps``: the native 1024x2048 path — every pixel enters the
   networks (input_s2d packed trunks, DESIGN.md 4c; no downsample round
   trip — the reference cannot do this at all), measured over the same
