@@ -120,14 +120,20 @@ def _peak_flops(device) -> float:
     return 394.0e12  # assume v5e (the driver's target part)
 
 
-def _measured_peak(jnp, jax, np):
+def _measured_peak(jnp, jax, np, windows=5):
     """Sustained big-matmul bf16 TFLOP/s on THIS chip/stack — the honest MFU
     denominator. The matmuls are CHAINED (each consumes the previous result
     inside a fori_loop) so the ~5 ms dispatch / ~30 ms fetch overheads of the
     dev relay are amortized over the whole chain; a naive per-call probe on
-    this relay under-reads the ceiling ~2x."""
+    this relay under-reads the ceiling ~2x.
+
+    Returns (median_flops_per_s, spread) over ``windows`` short windows —
+    MEDIAN, not best-of-2 long runs: the shared dev chip's tenancy made the
+    best-of probe swing 106.9 -> 161 TF/s across rounds (VERDICT r4 #8);
+    the median of several short windows is stable and ``spread`` =
+    (max - min) / median records the tenancy noise it was taken under."""
     try:
-        n, iters, calls = 8192, 16, 3
+        n, iters = 8192, 16
         key = jax.random.PRNGKey(0)
         a = jax.random.normal(key, (n, n), jnp.bfloat16)
         b = jax.random.normal(key, (n, n), jnp.bfloat16)
@@ -141,17 +147,16 @@ def _measured_peak(jnp, jax, np):
             return jax.lax.fori_loop(0, iters, body, x)
 
         np.asarray(chain(a, b).ravel()[:1])  # compile
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(windows):
             t0 = time.time()
-            r = a
-            for _ in range(calls):
-                r = chain(r, b)
-            np.asarray(r.ravel()[:1])
-            best = min(best, (time.time() - t0) / (calls * iters))
-        return 2 * n**3 / best
+            np.asarray(chain(a, b).ravel()[:1])
+            samples.append((time.time() - t0) / iters)
+        per_iter = np.median(samples)
+        spread = (max(samples) - min(samples)) / per_iter
+        return 2 * n**3 / per_iter, float(spread)
     except Exception:
-        return None
+        return None, None
 
 
 def _compiled_flops(jitted, *args):
@@ -260,10 +265,20 @@ def _probe_conv_class(rec, jax, jnp, np, iters=12):
     return flops / best
 
 
-def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=8):
+def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=24):
     """(receipts dict or None). Groups the program's convs by
     (cin, cout, k, stride, lhs_dilation), probes the top FLOP classes, and
-    returns the FLOP-weighted harmonic-mean ceiling + per-class receipts."""
+    returns the FLOP-weighted harmonic-mean ceiling + per-class receipts.
+
+    The receipt also carries ``conv_total_flops`` (every conv in the program,
+    probed or not) so the caller can form a TRUE conv-roofline fraction —
+    conv FLOPs over conv ceiling — instead of mixing whole-program FLOPs
+    into a conv-only denominator (ADVICE r4; the r4 record's
+    frac_of_weighted_ceiling = 1.583 partly reflected that mixing).
+    max_classes=24 targets probe FLOP coverage >= 0.9 (VERDICT r4 #2; 8
+    classes covered only 0.656): probes run most-FLOPs-first and stop early
+    only on budget, and unprobed classes are assumed AT the weighted ceiling
+    (``conv_probe_flop_coverage`` records how much is assumption)."""
     convs = []
     _collect_convs(jax.make_jaxpr(jitted_fn)(*args).jaxpr, convs)
     if not convs:
@@ -298,6 +313,7 @@ def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=8)
     return {
         "conv_weighted_ceiling_tflops": round(ceiling / 1e12, 2),
         "conv_probe_flop_coverage": round(probed_flops / total, 3),
+        "conv_total_flops": total,
         "conv_probe_tflops": {
             f"{cin}x{cout}k{k[0]}s{s[0]}d{d[0]}": round(tfs / 1e12, 2)
             for (cin, cout, k, s, d), _, tfs in probed
@@ -354,7 +370,77 @@ def _upload_trial(pipe, host_pool, jax, jnp, np, n_batches=4):
     ]
     _ = [np.asarray(d) for d in dists]
     dt = time.time() - t0
+    return BATCH * len(host_batches) / dt
+
+
+def _upload_trial_overlapped(pipe, host_pool, jax, np, n_batches=4):
+    """Upload-inclusive throughput with a DOUBLE-BUFFERED prefetcher: a
+    worker thread device_puts batch N+1 while batch N computes (VERDICT r4
+    #5 — the serial trial conflates link bandwidth with pipeline design).
+    On this dev relay the link (~30 MB/s for a 48 MB batch) dwarfs compute
+    (~30 ms), so the overlapped number stays ~link-bound; on a PCIe-class
+    host (~25 GB/s) the same loop hides the ~2 ms upload entirely. The
+    recorded serial/overlapped PAIR is what makes that claim checkable."""
+    import concurrent.futures as cf
+
+    host_batches = [
+        np.ascontiguousarray(host_pool[i * BATCH : (i + 1) * BATCH])
+        for i in range(min(n_batches, host_pool.shape[0] // BATCH))
+    ]
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        t0 = time.time()
+        fut = ex.submit(jax.device_put, host_batches[0])
+        dists = []
+        for i in range(len(host_batches)):
+            dev = fut.result()
+            if i + 1 < len(host_batches):
+                fut = ex.submit(jax.device_put, host_batches[i + 1])
+            # dispatch is async: the next upload proceeds while this runs
+            dists.append(pipe.process_batch(dev).dist_rw)
+        _ = [np.asarray(d) for d in dists]
+        dt = time.time() - t0
     return BATCH * len(host_batches) / dt, upload_mbps
+
+
+def _decode_trial(pipe, host_pool, jax, np, n_batches=4):
+    """The north star's full clause measured: JPEG bytes -> road-width
+    scalar (VERDICT r4 #4). Pool scenes are JPEG-encoded once (untimed —
+    that is the camera/file feed's job), then the timed loop THREAD-
+    PREFETCHES decode+upload of batch N+1 while batch N computes (the same
+    overlap cli.common.prefetch_decoded gives the sequence entry). Entropy
+    decode stays host-side by design on TPU — DESIGN.md "Decode"."""
+    import concurrent.futures as cf
+    import io
+
+    from PIL import Image
+
+    n = min(n_batches * BATCH, host_pool.shape[0])
+    jpegs = []
+    for i in range(n):
+        buf = io.BytesIO()
+        Image.fromarray(host_pool[i]).save(buf, format="JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+    nb = n // BATCH
+
+    def decode_batch(k):
+        arrs = [
+            np.asarray(Image.open(io.BytesIO(jpegs[k * BATCH + i])).convert("RGB"))
+            for i in range(BATCH)
+        ]
+        return jax.device_put(np.stack(arrs))
+
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        t0 = time.time()
+        fut = ex.submit(decode_batch, 0)
+        dists = []
+        for k in range(nb):
+            dev = fut.result()
+            if k + 1 < nb:
+                fut = ex.submit(decode_batch, k + 1)
+            dists.append(pipe.process_batch(dev).dist_rw)
+        _ = [np.asarray(d) for d in dists]
+        dt = time.time() - t0
+    return BATCH * nb / dt
 
 
 def _accuracy(pipe, batches, rw_true, f2f_true=None):
@@ -379,6 +465,53 @@ def _accuracy(pipe, batches, rw_true, f2f_true=None):
         ff = np.isfinite(f2f)
         f2f_mae = float(np.abs(f2f[ff] - f2f_true[ff]).mean()) if ff.any() else None
     return finite_frac, mae, f2f_mae
+
+
+def _geometry_floor(cfg, imgs, labels, disps, rw_true, jax, jnp, np, batch=4):
+    """rw MAE of the fused GEOMETRY on PERFECT network outputs (VERDICT r4
+    #1a): the scene pool's analytic masks + analytic disparity (the exact
+    training targets a flawless net would reproduce, including the scenes'
+    0.1% rendered depth noise) through ``_frame_geometry`` — denoise chain,
+    plane fit and the configured rw estimator — with no networks. The result
+    is the measured rasterization/geometry floor of the accuracy protocol:
+    the recorded *_rw_mae_m can be read as floor + net-quality gap."""
+    from semantic_depth_tpu import pipeline as pl
+
+    class _Geom:  # _frame_geometry needs only .config from its instance
+        config = cfg
+
+    cam, s_w = pl._scaled_camera(cfg, cfg.camera.focal)
+    # scene_pool renders disp_norm = d_px / (2048 * s_w)
+    # (utils/bench_scenes.py render_scene); the pipeline's scaling for these
+    # pools resolves to the same factor, so this recovers pixel disparity
+    mult = jnp.float32(2048.0 * s_w)
+
+    @jax.jit
+    def geom(small, road_m, fence_m, disp_norm):
+        def one(fs, rm, fm, d):
+            return pl.SemanticDepthPipeline._frame_geometry(
+                _Geom(), fs, rm, fm, d * mult, cam
+            ).dist_rw
+
+        return jax.vmap(one)(small, road_m, fence_m, disp_norm)
+
+    widths = []
+    n = imgs.shape[0]
+    for i in range(0, n - n % batch, batch):
+        widths.append(
+            np.asarray(
+                geom(
+                    jnp.asarray(imgs[i : i + batch], jnp.float32),
+                    jnp.asarray(labels[i : i + batch] == 7),
+                    jnp.asarray(labels[i : i + batch] == 13),
+                    jnp.asarray(disps[i : i + batch]),
+                )
+            )
+        )
+    widths = np.concatenate(widths)
+    truth = np.asarray(rw_true)[: widths.size]
+    fin = np.isfinite(widths)
+    return float(np.abs(widths[fin] - truth[fin]).mean()) if fin.any() else None
 
 
 def _load_bench_weights(fcn, mono, h, w, log, full_res=False, native=False,
@@ -465,7 +598,9 @@ def main():
     pipe = SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
 
     n_pool = POOL_BATCHES * BATCH
-    pool, _, _, rw_true, f2f_true = scene_pool(n_pool, 1024, 2048, seed=0)
+    pool, pool_labels, pool_disps, rw_true, f2f_true = scene_pool(
+        n_pool, 1024, 2048, seed=0
+    )
     batches = [
         jax.device_put(jnp.asarray(pool[i * BATCH : (i + 1) * BATCH]))
         for i in range(POOL_BATCHES)
@@ -488,7 +623,9 @@ def main():
 
     mfu = None
     flops_per_frame = None
-    measured_peak = _measured_peak(jnp, jax, np) if time_left() > 90 else None
+    measured_peak, peak_spread = (
+        _measured_peak(jnp, jax, np) if time_left() > 90 else (None, None)
+    )
     if flops_per_batch:
         flops_per_frame = flops_per_batch / BATCH
         mfu = flops_per_frame * best_fps / peak
@@ -517,6 +654,7 @@ def main():
         out["model_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
         if measured_peak:
             out["measured_peak_matmul_tflops"] = round(measured_peak / 1e12, 1)
+            out["measured_peak_spread"] = round(peak_spread, 3)
             out["mfu_vs_measured_peak"] = round(
                 flops_per_frame * best_fps / measured_peak, 4
             )
@@ -525,13 +663,25 @@ def main():
     print(json.dumps(out), flush=True)
     log(f"[bench] headline JSON emitted at {time.time()-t_start:.0f}s")
 
-    # ---- upload-inclusive trial (VERDICT r3 #5) ----
+    # ---- upload-inclusive trials (VERDICT r3 #5; r4 #5 overlapped) ----
     try:
         fps_up, upload_mbps = _upload_trial(pipe, pool, jax, jnp, np)
         out["fps_with_upload"] = round(fps_up, 3)
         out["upload_mbps"] = round(upload_mbps, 1)
     except Exception as e:
         log(f"upload trial skipped: {type(e).__name__}: {e}")
+    try:
+        out["fps_with_upload_overlapped"] = round(
+            _upload_trial_overlapped(pipe, pool, jax, np), 3
+        )
+    except Exception as e:
+        log(f"overlapped upload trial skipped: {type(e).__name__}: {e}")
+    # ---- JPEG-to-scalar trial (VERDICT r4 #4: the north star's decode
+    # clause as a measured number) ----
+    try:
+        out["fps_with_decode"] = round(_decode_trial(pipe, pool, jax, np), 3)
+    except Exception as e:
+        log(f"decode trial skipped: {type(e).__name__}: {e}")
 
     # ---- conv-roofline receipts (VERDICT r3 #4) ----
     if time_left() > 180:
@@ -540,12 +690,18 @@ def main():
                 pipe._process_batch, batch_args, jax, jnp, np, log, time_left,
             )
             if receipts:
+                conv_total_flops = receipts.pop("conv_total_flops")
                 out.update(receipts)
-                if flops_per_frame:
-                    sustained = flops_per_frame * best_fps
-                    out["frac_of_weighted_ceiling"] = round(
-                        sustained / (receipts["conv_weighted_ceiling_tflops"] * 1e12), 3
-                    )
+                # TRUE conv roofline fraction: conv-only FLOPs sustained by
+                # the program over the conv-probe ceiling (ADVICE r4 — the
+                # old numerator included the ~17% non-conv program FLOPs,
+                # so the 'fraction of conv roofline' was not one)
+                conv_flops_per_frame = conv_total_flops / BATCH
+                out["conv_gflops_per_frame"] = round(conv_flops_per_frame / 1e9, 1)
+                out["frac_of_weighted_ceiling"] = round(
+                    conv_flops_per_frame * best_fps
+                    / (receipts["conv_weighted_ceiling_tflops"] * 1e12), 3
+                )
         except Exception as e:
             log(f"conv roofline receipts skipped: {type(e).__name__}: {e}")
     else:
@@ -576,9 +732,52 @@ def main():
     # crutch (disocclusion compensation for the published weights) — skipping
     # it halves the mono cost; the accuracy leg below MEASURES the effect
     # (full_res_rw_mae_m), so the claim is carried by evidence, not assertion.
+    # rw_estimator='plane_edge' (ops/pcl.plane_edge_width): the native mode
+    # reads width off the FITTED ROAD PLANE + mask-edge line fits instead of
+    # the reference's min/max-x extreme over measured slab points — the
+    # slab extreme eats the disparity net's per-pixel noise; the floor legs
+    # below record both estimators' geometry floors so the delta is measured
     cfg_fr_native = dataclasses.replace(
-        cfg_fr, monodepth=dataclasses.replace(cfg_fr.monodepth, flip_average=False)
+        cfg_fr,
+        monodepth=dataclasses.replace(cfg_fr.monodepth, flip_average=False),
+        rw_estimator="plane_edge",
     )
+
+    # ---- measured geometry floors of the accuracy protocol (VERDICT r4
+    # #1a): perfect masks + analytic disparity through the fused geometry —
+    # what a FLAWLESS network would score. Decomposes every *_rw_mae_m into
+    # floor + net-quality gap.
+    if time_left() > 150:
+        try:
+            floor_pe = _geometry_floor(
+                cfg_fr_native, pool, pool_labels, pool_disps, rw_true, jax, jnp, np
+            )
+            if floor_pe is not None:
+                out["floor_rw_mae_m"] = round(floor_pe, 4)
+            floor_slab = _geometry_floor(
+                dataclasses.replace(cfg_fr_native, rw_estimator="slab_minmax"),
+                pool, pool_labels, pool_disps, rw_true, jax, jnp, np,
+            )
+            if floor_slab is not None:
+                out["floor_rw_mae_slab_m"] = round(floor_slab, 4)
+            log(f"[bench] geometry floors at {time.time()-t_start:.0f}s: "
+                f"plane_edge {floor_pe}, slab_minmax {floor_slab}")
+        except Exception as e:
+            log(f"geometry floor legs skipped: {type(e).__name__}: {e}")
+        try:
+            # the headline 256x512 protocol's floor (VERDICT r4 #3: is the
+            # recorded rw_mae_m the resolution's floor or undertraining?)
+            p256, l256, d256, rw256, _ = scene_pool(16, 256, 512, seed=0)
+            floor_256 = _geometry_floor(
+                cfg, p256, l256, d256, rw256, jax, jnp, np, batch=8
+            )
+            if floor_256 is not None:
+                out["floor_rw_mae_256_m"] = round(floor_256, 4)
+                log(f"[bench] 256x512 slab floor: {floor_256}")
+        except Exception as e:
+            log(f"256x512 floor leg skipped: {type(e).__name__}: {e}")
+    else:
+        log("geometry floor legs skipped: bench budget low")
 
     def full_res_leg(fcn_fr, mono_fr, *, native, fr_batch, n_frames, trials):
         """One full-res measurement: build the pipe, time, score accuracy.

@@ -50,6 +50,32 @@ def imread_bgr(path: str) -> np.ndarray:
     return rgb[:, :, ::-1].copy()
 
 
+def prefetch_decoded(paths, load, depth: int = 4, workers: int = 2):
+    """Yield (path, load(path)) in order, decoding up to ``depth`` frames
+    AHEAD on worker threads (VERDICT r4 #4: the streaming loops decoded
+    serially between device dispatches).
+
+    Entropy decode (JPEG/PNG) is host work by design on TPU — see DESIGN.md
+    "Decode" — so the way to hide it is overlap, not porting it on-chip:
+    cv2/PIL release the GIL inside the codec, and the device computes
+    without the host CPU, so decode of frame N+k proceeds while the device
+    chews frame N even on a single host core. ``load`` failures propagate
+    per item (callers already map unreadable frames to None and skip)."""
+    import concurrent.futures as cf
+    from collections import deque
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        q = deque()
+        for p in paths:
+            q.append((p, ex.submit(load, p)))
+            if len(q) >= depth:
+                path, fut = q.popleft()
+                yield path, fut.result()
+        while q:
+            path, fut = q.popleft()
+            yield path, fut.result()
+
+
 def imwrite(path: str, img: np.ndarray) -> None:
     """Write a BGR uint8 image — cv2.imwrite semantics."""
     img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)

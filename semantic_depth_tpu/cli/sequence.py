@@ -232,8 +232,9 @@ def main(argv=None):
                     print("Road width", d)
 
         batch_items = []
-        for path in frames:
-            frame = load(path)
+        # threaded decode prefetch: frame N+k decodes while the device is
+        # busy with the current batch (VERDICT r4 #4)
+        for path, frame in common.prefetch_decoded(frames, load):
             if frame is None:
                 continue
             print(f"\n\nPROCESSING NEW FRAME! {path}\n")
@@ -250,10 +251,10 @@ def main(argv=None):
             drain(entry)
         return
 
-    # Double-buffered streaming: dispatch N+1 before fetching N.
+    # Double-buffered streaming: dispatch N+1 before fetching N, with decode
+    # prefetched on worker threads (VERDICT r4 #4).
     pending = []  # list of (output_name, original_hw, FrameOutputs)
-    for path in frames:
-        frame = load(path)
+    for path, frame in common.prefetch_decoded(frames, load):
         if frame is None:
             continue
         print(f"\n\nPROCESSING NEW FRAME! {path}\n")

@@ -157,6 +157,17 @@ class PipelineConfig:
     # (pcl.py:283).
     rw_depth_offset: float = 0.02
     rw_slab_halfwidth: float = 0.05
+    # Road-width estimator. 'slab_minmax' is the reference's: min/max x of
+    # the MEASURED points in the z-slab (pcl.py:271-313) — an extreme
+    # statistic that inherits the disparity network's per-pixel noise.
+    # 'plane_edge' (the native full-res mode) intersects pixel rays with the
+    # fitted road plane and line-fits the mask edge per side
+    # (ops/pcl.plane_edge_width) — reference-divergent, so opt-in.
+    rw_estimator: str = "slab_minmax"
+    # plane_edge aggregates edge rows in a +-halfwidth slab around depth;
+    # wider than the 5 cm measurement slab because plane-ray geometry is
+    # noise-free per row and more rows average the mask quantization.
+    rw_plane_edge_halfwidth: float = 0.5
     # Disparity multiplier: the single-image entry uses the ORIGINAL frame
     # width (semantic_depth.py:109,145); the sequence entry hardcodes 3800
     # (seq:105). None => use original width.

@@ -459,6 +459,109 @@ def distance_3d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(a - b)
 
 
+def plane_edge_width(
+    road_mask: jnp.ndarray,
+    road_plane: jnp.ndarray,
+    cx, cy, focal,
+    depth,
+    halfwidth: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Robust road-width estimate: fitted-plane ray intersection + per-row
+    mask edges + a weighted line fit per side, evaluated at z = -depth.
+
+    The reference estimator (``road_endpoints``, pcl.get_end_points_of_road
+    pcl.py:271-313) takes the hard min/max x of the *measured* points inside
+    a +-5 cm z-slab: an extreme statistic over ~3 image rows whose x values
+    carry the disparity network's per-pixel noise — at 10 m every millimeter
+    of that noise lands directly in the width. This estimator (the native
+    mode's ``rw_estimator='plane_edge'``) removes both error sources:
+
+    * Depth comes from the DENOISED ROAD PLANE (already fit to thousands of
+      inliers, ``fit_plane``), not from single-pixel disparities: each pixel
+      ray through the camera is intersected with the plane, giving noise-free
+      (x, z) per pixel up to the plane-fit error.
+    * The road edge per image row is the mask's outermost road pixel on that
+      row (over the WHOLE row — restricting the per-row extremum to a z-slab
+      would clip rows laterally on rolled planes, where range varies along a
+      row, and report the slab boundary as the edge), widened half a pixel
+      footprint (the mask quantizes the true edge to pixel centers;
+      +-half-pixel is the unbiased correction). Each side then line-fits
+      x(z) over the rows whose EDGE point lies in a +-``halfwidth`` (default
+      0.5 m) slab — ~30 rows at full res — instead of taking an extreme over
+      ~3. A symmetric slab keeps the estimate first-order exact for linearly
+      varying road width, and the per-side slab gate keeps left/right row
+      sets independent (a rolled plane puts the two edges of one row at
+      different ranges).
+
+    Args:
+      road_mask: (H, W) bool segmentation mask.
+      road_plane: (4,) plane coefficients (Cx, Cy, Cz, C), y-coefficient -1
+        (``fit_plane`` axis=1 convention): y = Cx*x + Cz*z + C.
+      cx / cy / focal: pinhole intrinsics at this grid (may be traced).
+      depth: target depth in meters (z = -depth).
+      halfwidth: slab half-extent in meters around ``depth``.
+
+    Returns (left_pt (3,), right_pt (3,), found bool, width f32). Points lie
+    ON the fitted plane at z = -depth; nan + width nan when either side has
+    no slab row.
+    """
+    h, w = road_mask.shape
+    a, c, d0 = road_plane[0], road_plane[2], road_plane[3]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] - cx  # (1, W)
+    v = cy - jnp.arange(h, dtype=jnp.float32)[:, None]  # (H, 1)
+    # Ray through (u, v) hits the plane at range wz = -z:
+    #   x = u*wz/f, y = v*wz/f;  y = a*x + c*z + d0
+    #   => wz * (v - a*u + c*f) = d0 * f
+    denom = v - a * u + c * focal  # (H, W)
+    wz = d0 * focal / denom
+    xhat = u * wz / focal
+    valid_px = road_mask & jnp.isfinite(wz) & (wz > 0.0)  # in front of camera
+
+    # Per-row outermost road pixels + the plane range there; half-pixel
+    # outward widening (footprint wz/f per pixel).
+    li = jnp.argmin(jnp.where(valid_px, xhat, jnp.inf), axis=1)  # (H,)
+    ri = jnp.argmax(jnp.where(valid_px, xhat, -jnp.inf), axis=1)
+    rows = jnp.arange(h)
+    row_any = jnp.any(valid_px, axis=1)
+    wz_l, wz_r = wz[rows, li], wz[rows, ri]
+    x_l = xhat[rows, li] - 0.5 * wz_l / focal
+    x_r = xhat[rows, ri] + 0.5 * wz_r / focal
+
+    def in_slab(z):
+        return (z > depth - halfwidth) & (z < depth + halfwidth)
+
+    wgt_l = (row_any & in_slab(wz_l)).astype(jnp.float32)
+    wgt_r = (row_any & in_slab(wz_r)).astype(jnp.float32)
+
+    def fit_at(x_e, wz_e, weight, z_eval):
+        """Weighted LSQ x = alpha + beta*z over rows; x(z_eval). Falls back
+        to the weighted mean when rows span < ~1 distinct z (det ~ 0)."""
+        # zero-weight rows may carry inf/nan edge values; 0*inf = nan would
+        # poison every sum, so sanitize before weighting
+        x_e = jnp.where(weight > 0, x_e, 0.0)
+        z_e = jnp.where(weight > 0, -wz_e, 0.0)
+        sw = jnp.sum(weight)
+        sz = jnp.sum(weight * z_e)
+        sx = jnp.sum(weight * x_e)
+        szz = jnp.sum(weight * z_e * z_e)
+        szx = jnp.sum(weight * z_e * x_e)
+        det = sw * szz - sz * sz
+        beta = jnp.where(jnp.abs(det) > 1e-6, (sw * szx - sz * sx) / det, 0.0)
+        alpha = (sx - beta * sz) / jnp.maximum(sw, 1.0)
+        return alpha + beta * z_eval
+
+    z_eval = -jnp.asarray(depth, jnp.float32)
+    xl = fit_at(x_l, wz_l, wgt_l, z_eval)
+    xr = fit_at(x_r, wz_r, wgt_r, z_eval)
+    found = (jnp.sum(wgt_l) >= 1) & (jnp.sum(wgt_r) >= 1)
+    width = jnp.where(found, xr - xl, jnp.nan)
+    y_at = lambda x: a * x + c * z_eval + d0
+    nan = jnp.float32(jnp.nan)
+    left_pt = jnp.where(found, jnp.stack([xl, y_at(xl), z_eval]), jnp.full((3,), nan))
+    right_pt = jnp.where(found, jnp.stack([xr, y_at(xr), z_eval]), jnp.full((3,), nan))
+    return left_pt, right_pt, found, width
+
+
 # ---------------------------------------------------------------------------
 # Compaction: shrink capacity before O(N^2) neighbor kernels
 # ---------------------------------------------------------------------------

@@ -98,11 +98,15 @@ class PipelinedPipeline:
     DO stream long sequences in fixed-size chunks (the cli's ``--batch`` is
     exactly that), not as one giant call, for two compounding reasons:
 
-    * Output HBM: the scan stacks a full FrameOutputs PER CLOCK STEP on
-      EVERY stage device (non-final stages stack zeros of the same shape),
-      so per-device output memory is ~S*(T+S-1)/T times the useful result
-      — at 256x512 a microbatch-8 FrameOutputs is ~100 MB, so T=16 already
-      stacks ~1.7 GB/device on a 2-stage ring. Chunks bound T.
+    * Output HBM: finished FrameOutputs are dealt round-robin across the
+      stage devices (clock step t's output is ppermute'd from the final
+      stage to device t mod S), so each device stacks ~(T+S-1)/S
+      microbatch outputs — per-device output memory is ~(T+S-1)/T of the
+      useful result and does NOT scale with stage count (VERDICT r4 #6;
+      previously every device stacked all T+S-1 steps, non-final stages
+      stacking zeros, for ~S*(T+S-1)/T). What remains is fill/drain only:
+      chunks bound T, and at 256x512 a microbatch-8 FrameOutputs is
+      ~100 MB, so keep (T+S-1)/S of them within the HBM you can spare.
     * Fill/drain overhead: each call spends S-1 of its T+S-1 clock steps
       filling/draining, so efficiency is T/(T+S-1) — 89% at T=8, S=2;
       97% at T=32. Pick the chunk so T = chunk/microbatch lands in the
@@ -127,9 +131,10 @@ class PipelinedPipeline:
                 self._device_program,
                 mesh=mesh,
                 in_specs=(P(), P(), frames_spec, P(), P()),
-                # leading singleton axis stacks the per-stage output copies;
-                # only [n_stages-1] (the geometry stage) is real.
-                out_specs=P("pp", None, "dp"),
+                # leading axis = the round-robin output slots, sharded over
+                # 'pp': device d holds the outputs of clock steps t with
+                # t mod S == d (see _device_program's dealing ppermute).
+                out_specs=P("pp", "dp"),
                 check_rep=False,  # ppermute: per-device values diverge
             )
         )
@@ -190,13 +195,34 @@ class PipelinedPipeline:
         )
         ring = [(i, (i + 1) % S) for i in range(S)]
 
-        def step(bnd, t):
-            new_bnd, outs = jax.lax.switch(sidx, branches, bnd, t)
-            return jax.lax.ppermute(new_bnd, "pp", ring), outs
+        # Round-robin output dealing (VERDICT r4 #6): each scan iteration
+        # runs S clock steps; the output finished at clock step t = k*S + j
+        # is ppermute'd from the final stage to device j (= t mod S, STATIC
+        # because the inner loop over j is unrolled), and only that device
+        # keeps it. Every device thus stacks ONE microbatch output per
+        # iteration — per-device output HBM no longer scales with S. The
+        # cost is one extra FrameOutputs hop per step on the ICI ring
+        # (identity for j == S-1), bandwidth the boundary permute already
+        # rides.
+        n_iter = -(-(T + S - 1) // S)  # ceil
 
-        _, ys = jax.lax.scan(step, zero_bnd, jnp.arange(T + S - 1))
-        # (T+S-1, mb, ...) per device -> add the 'pp' stacking axis.
-        return jax.tree.map(lambda x: x[None], ys)
+        def outer(bnd, k):
+            acc = zero_out
+            for j in range(S):
+                t = k * S + j
+                new_bnd, outs = jax.lax.switch(sidx, branches, bnd, t)
+                bnd = jax.lax.ppermute(new_bnd, "pp", ring)
+                outs = jax.lax.ppermute(outs, "pp", [(S - 1, j)])
+                # fill (t < S-1) and overrun (t >= T+S-1) steps produce
+                # throwaway values; only the dealt device keeps a real one
+                keep = (t >= S - 1) & (t < T + S - 1) & (sidx == j)
+                acc = jax.tree.map(
+                    lambda a, o: jnp.where(keep, o, a), acc, outs
+                )
+            return bnd, acc
+
+        _, ys = jax.lax.scan(outer, zero_bnd, jnp.arange(n_iter))
+        return ys  # (n_iter, mb, ...) per device; global (S*n_iter, mb, ...)
 
     # --- host API ----------------------------------------------------------
     def process_stream(self, frames, microbatch: int,
@@ -219,10 +245,16 @@ class PipelinedPipeline:
                 jnp.float32(focal), jnp.float32(dmult),
             )
         S = self.n_stages
-        # keep the geometry stage's copy, drop the S-1 fill steps, flatten
-        # (T, mb) -> N.
+        T = n // microbatch
+        # Undo the round-robin dealing: clock step t's output sits at global
+        # slot (t mod S) * n_iter + t // S (out_specs concatenates the per-
+        # device stacks along axis 0 in pp order); microbatch i finished at
+        # clock step t = i + S - 1. Gather + flatten (T, mb) -> N.
+        n_iter = -(-(T + S - 1) // S)
+        t = np.arange(S - 1, T + S - 1)
+        slots = jnp.asarray((t % S) * n_iter + t // S)
         return jax.tree.map(
-            lambda x: x[S - 1, S - 1:].reshape((n,) + x.shape[3:]), out
+            lambda x: x[slots].reshape((n,) + x.shape[2:]), out
         )
 
     def process_batch(self, frames, focal: Optional[float] = None,

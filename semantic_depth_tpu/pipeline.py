@@ -166,6 +166,35 @@ def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineCon
     return left, right, left_plane, right_plane, left_pt, right_pt, dist
 
 
+def _road_width(cfg, road_cloud, road_mask, road_plane, points3d, cam):
+    """Road-width endpoints under cfg.rw_estimator; ONE definition shared by
+    the fused/batched geometry tail and the staged profiling mode.
+
+    'slab_minmax' reproduces the reference (pcl.get_end_points_of_road,
+    pcl.py:271-313). 'plane_edge' gates the segmentation mask by the fitted
+    plane's residual (same threshold as the denoise chain's inlier cut, so a
+    mis-segmented blob off the road surface cannot supply an edge pixel) and
+    runs ops/pcl.plane_edge_width on the gated grid mask."""
+    depth_rw = cfg.depth - cfg.rw_depth_offset
+    if cfg.rw_estimator == "plane_edge":
+        resid = points3d @ road_plane[:3] + road_plane[3]
+        grid_keep = (
+            road_mask & jnp.isfinite(resid)
+            & (jnp.abs(resid) < cfg.road.plane.threshold)
+        )
+        return pcl.plane_edge_width(
+            grid_keep, road_plane, cam.cx, cam.cy, cam.focal,
+            depth_rw, cfg.rw_plane_edge_halfwidth,
+        )
+    if cfg.rw_estimator != "slab_minmax":
+        raise ValueError(f"unknown rw_estimator: {cfg.rw_estimator!r}")
+    left, right, found = pcl.road_endpoints(
+        road_cloud, depth_rw, cfg.rw_slab_halfwidth
+    )
+    # width along x only (semantic_depth.py:259)
+    return left, right, found, jnp.abs(left[0] - right[0])
+
+
 def _scaled_camera(cfg: PipelineConfig, focal):
     """Intrinsics at the pipeline's working resolution.
 
@@ -309,9 +338,9 @@ class SemanticDepthPipeline:
         road = pcl.from_dense(points3d, colors, road_mask)
         road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
 
-        depth_rw = cfg.depth - cfg.rw_depth_offset
-        left_rw, right_rw, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
-        dist_rw = jnp.abs(left_rw[0] - right_rw[0])  # semantic_depth.py:259
+        left_rw, right_rw, found, dist_rw = _road_width(
+            cfg, road, road_mask, road_plane, points3d, cam
+        )
 
         nan3 = jnp.full((3,), jnp.nan, jnp.float32)
         nan4 = jnp.full((4,), jnp.nan, jnp.float32)
@@ -503,7 +532,9 @@ class SemanticDepthPipeline:
         times["road"] = _time.time() - t0
 
         t0 = _time.time()
-        left_rw, right_rw, found, dist_rw = sync(S["rw"](road_cloud))
+        left_rw, right_rw, found, dist_rw = sync(
+            S["rw"](road_cloud, road_mask, road_plane, points3d, focal)
+        )
         times["rw"] = _time.time() - t0
 
         nan3 = jnp.full((3,), jnp.nan, jnp.float32)
@@ -551,11 +582,10 @@ class SemanticDepthPipeline:
             road = pcl.from_dense(points3d, colors, road_mask)
             return _denoise_road(road, cfg, grid_hw=(h, w))
 
-        def rw_stage(road_cloud):
-            depth_rw = cfg.depth - cfg.rw_depth_offset
-            left, right, found = pcl.road_endpoints(road_cloud, depth_rw,
-                                                    cfg.rw_slab_halfwidth)
-            return left, right, found, jnp.abs(left[0] - right[0])
+        def rw_stage(road_cloud, road_mask, road_plane, points3d, focal):
+            cam, _ = _scaled_camera(cfg, focal)
+            return _road_width(cfg, road_cloud, road_mask, road_plane,
+                               points3d, cam)
 
         def fences_stage(points3d, frame_small, fence_mask):
             colors = frame_small[:, :, ::-1]

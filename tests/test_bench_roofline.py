@@ -3,6 +3,7 @@ chip (VERDICT r3 #1/#4: the driver's bench run must survive its wall-clock
 budget and carry checkable roofline numbers).
 """
 
+import os
 import time
 
 import numpy as np
@@ -123,10 +124,29 @@ def test_train_loops_stop_at_deadline(monkeypatch):
 
     logs = []
     t0 = time.time()
-    params = tbw.train_fcn(
+    params, truncated = tbw.train_fcn(
         [((64, 128), 2, 1, 10_000)], width_mult=0.0625, fc_channels=32,
         deadline=time.time() + 4.0, log=logs.append,
     )
     assert params is not None
+    assert truncated  # the flag save_or_reject keys off (ADVICE r4)
     assert time.time() - t0 < 120  # stopped long before 10k steps
     assert any("deadline hit" in m for m in logs)
+
+
+def test_truncated_training_never_populates_cache(tmp_path, monkeypatch):
+    """A deadline-truncated training must park its params in *.partial and
+    raise — NOT cache them under the real name where every later warm run
+    would silently load the under-trained set as 'trained' (ADVICE r4)."""
+    import tools.train_bench_weights as tbw
+
+    def fake_train(*a, **k):
+        return {"w": __import__("jax").numpy.zeros((2, 2))}, True  # truncated
+
+    monkeypatch.setattr(tbw, "train_fcn", fake_train)
+    monkeypatch.setattr(tbw, "train_mono", fake_train)
+    with pytest.raises(TimeoutError, match="partial"):
+        tbw.ensure_bench_weights(str(tmp_path), deadline=time.time() + 10_000)
+    fp, mp = tbw.bench_weight_paths(str(tmp_path))
+    assert not os.path.exists(fp) and not os.path.exists(mp)
+    assert os.path.exists(fp + ".partial")

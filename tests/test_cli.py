@@ -606,3 +606,20 @@ def test_annotation_pil_fallback(monkeypatch):
         np.array([2.5, 0, -10.0]),
     )
     assert (out3 != img).any()
+
+
+def test_prefetch_decoded_preserves_order_and_none_frames():
+    """The threaded decode prefetcher (VERDICT r4 #4) must yield frames in
+    input order, including the None placeholders the loaders return for
+    unreadable frames (the skip guard relies on them)."""
+    from semantic_depth_tpu.cli import common as c
+
+    def load(p):
+        return None if p == "bad" else p.upper()
+
+    paths = ["a", "bad", "b", "c", "d", "e"]
+    got = list(c.prefetch_decoded(paths, load, depth=3))
+    assert got == [(p, None if p == "bad" else p.upper()) for p in paths]
+    # degenerate depths/few items still drain completely
+    assert list(c.prefetch_decoded(["x"], load, depth=8)) == [("x", "X")]
+    assert list(c.prefetch_decoded([], load)) == []

@@ -361,3 +361,53 @@ def test_pipelined_inference_matches_single_device():
         make_pp_mesh(7)
     with pytest.raises(ValueError, match="even device count"):
         make_pp_mesh(1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pp_output_stack_dealt_across_stages():
+    """VERDICT r4 #6: the pp scan's stacked output must be dealt round-robin
+    across stage devices — global leading axis S*ceil((T+S-1)/S) slots, NOT
+    the old S*(T+S-1) full per-device copies — while process_stream still
+    reassembles the exact frame order."""
+    import dataclasses
+
+    from semantic_depth_tpu.config import munich_pipeline_config
+    from semantic_depth_tpu.models import Monodepth
+    from semantic_depth_tpu.parallel import PipelinedPipeline, make_pp_mesh
+    from semantic_depth_tpu.pipeline import SemanticDepthPipeline, resolve_frame_scalars
+
+    base = munich_pipeline_config()
+    cfg = munich_pipeline_config(
+        input_height=128, input_width=256, approach="rw",
+        road=dataclasses.replace(base.road, neighbor_capacity=2048),
+    )
+    fcn = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=32)
+    mono = Monodepth(encoder="vgg", width_mult=0.0625)
+    fp = fcn.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)))
+    mp = mono.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 256, 3)))
+    pipe = SemanticDepthPipeline(cfg, fp, mp, fcn=fcn, mono=mono)
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(16, 256, 512, 3)).astype(np.uint8)
+    mesh = make_pp_mesh(8, dp=4, pp=2)
+    staged = PipelinedPipeline(pipe, mesh)
+
+    # T=4 microbatches of 4, S=2 -> n_iter = ceil(5/2) = 3, 6 global slots
+    mb, S, T = 4, 2, 4
+    n_iter = -(-(T + S - 1) // S)
+    focal, dmult = resolve_frame_scalars(cfg, frames.shape[2], None, None)
+    stack = jnp.asarray(frames).reshape((T, mb) + frames.shape[1:])
+    with mesh:
+        raw = staged._fn(fp, mp, stack, jnp.float32(focal), jnp.float32(dmult))
+    assert raw.dist_rw.shape[0] == S * n_iter  # 6, not S*(T+S-1) = 10
+
+    # and the host reassembly still yields single-device results in order
+    ref = pipe.process_batch(frames)
+    out = staged.process_stream(frames, microbatch=mb)
+    np.testing.assert_allclose(
+        np.asarray(out.disparity), np.asarray(ref.disparity), rtol=1e-5, atol=1e-5
+    )
+    a, b = np.asarray(out.dist_rw), np.asarray(ref.dist_rw)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    ok = ~(np.isnan(a) & np.isnan(b))
+    np.testing.assert_allclose(a[ok], b[ok], rtol=1e-4)

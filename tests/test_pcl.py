@@ -417,3 +417,108 @@ def test_compact_slab_aware_matches_composition():
         np.testing.assert_array_equal(np.asarray(got_p.xyz)[m], np.asarray(ref_p.xyz)[m])
         np.testing.assert_array_equal(np.asarray(got_p.rgb)[m], np.asarray(ref_p.rgb)[m])
         np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# plane_edge_width: the native mode's robust road-width estimator
+# ---------------------------------------------------------------------------
+
+
+def _analytic_road_mask(h, w, f, cx, cy, plane, half_width_of, z_range=(1.0, 60.0)):
+    """Rasterize the road mask of an analytic planar road: pixel (row, col)
+    is road iff its ray-plane intersection lands within |x| <= half_width(z).
+    plane = (a, -1, c, d): y = a*x + c*z + d."""
+    a, _, c, d = plane
+    u = np.arange(w, dtype=np.float64)[None, :] - cx
+    v = cy - np.arange(h, dtype=np.float64)[:, None]
+    denom = v - a * u + c * f
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wz = d * f / denom
+        x = u * wz / f
+    ok = np.isfinite(wz) & (wz > z_range[0]) & (wz < z_range[1])
+    return ok & (np.abs(x) <= half_width_of(wz)), wz, x
+
+
+def test_plane_edge_width_flat_road_exact():
+    """Constant-width flat road: recovered width must be exact to ~1e-4 m
+    (the mask quantizes the edge to pixels; the half-pixel widening plus the
+    symmetric-slab line fit cancels the quantization to first order)."""
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.0, -1.0, 0.0, -1.5)
+    mask, _, _ = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.0)
+    lp, rp, found, width = pcl.plane_edge_width(
+        np.asarray(mask), np.asarray(plane, np.float32), cx, cy, f, 10.0
+    )
+    assert bool(found)
+    assert float(width) == pytest.approx(6.0, abs=2e-3)
+    # endpoints lie ON the plane at z = -10
+    np.testing.assert_allclose(np.asarray(lp)[2], -10.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp)[1], -1.5, atol=1e-4)
+
+
+def test_plane_edge_width_tilted_plane_and_varying_width():
+    """Tilted road plane + linearly varying width: the symmetric-slab line
+    fit is first-order exact, so the width at the slab center must match the
+    analytic width there to a few mm at 256x512."""
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.02, -1.0, 0.015, -1.4)  # gentle roll + pitch
+    half = lambda z: 2.5 + 0.05 * (z - 10.0)  # 5 m wide at z=10, widening
+    mask, _, _ = _analytic_road_mask(h, w, f, cx, cy, plane, half)
+    lp, rp, found, width = pcl.plane_edge_width(
+        np.asarray(mask), np.asarray(plane, np.float32), cx, cy, f, 10.0
+    )
+    assert bool(found)
+    assert float(width) == pytest.approx(5.0, abs=0.01)
+
+
+def test_plane_edge_width_empty_slab():
+    """No road rows in the slab -> found False, nan width/points."""
+    h, w, f = 64, 128, 120.0
+    mask = np.zeros((h, w), bool)
+    plane = np.asarray((0.0, -1.0, 0.0, -1.5), np.float32)
+    lp, rp, found, width = pcl.plane_edge_width(
+        mask, plane, (w - 1) / 2.0, (h - 1) / 2.0, f, 10.0
+    )
+    assert not bool(found)
+    assert np.isnan(float(width))
+    assert np.isnan(np.asarray(lp)).all() and np.isnan(np.asarray(rp)).all()
+
+
+def test_plane_edge_width_beats_slab_minmax_under_noise():
+    """The motivating property: with noisy per-pixel depths, the plane-ray
+    estimator's error must be well under the measured-point min/max-x
+    estimator's (road_endpoints over the noisy cloud)."""
+    import jax.numpy as jnp
+
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.0, -1.0, 0.0, -1.5)
+    mask, wz, x = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.0)
+
+    # noisy measured cloud: true plane geometry + 2% range noise per pixel
+    rng = np.random.default_rng(0)
+    wz_noisy = np.where(mask, wz * (1.0 + 0.02 * rng.standard_normal((h, w))), np.nan)
+    u = np.arange(w, dtype=np.float64)[None, :] - cx
+    v = cy - np.arange(h, dtype=np.float64)[:, None]
+    xyz = np.stack(
+        [u * wz_noisy / f, v * wz_noisy / f, -wz_noisy], axis=-1
+    ).reshape(-1, 3)
+    ok = np.isfinite(xyz).all(axis=1)
+    xyz[~ok] = 0.0
+    cloud = pcl.MaskedCloud(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        rgb=jnp.zeros_like(jnp.asarray(xyz, jnp.float32)),
+        valid=jnp.asarray(ok & mask.reshape(-1)),
+    )
+    lp_mm, rp_mm, _ = pcl.road_endpoints(cloud, 10.0, 0.05)
+    err_minmax = abs(float(jnp.abs(lp_mm[0] - rp_mm[0])) - 6.0)
+
+    _, _, found, width = pcl.plane_edge_width(
+        np.asarray(mask), np.asarray(plane, np.float32), cx, cy, f, 10.0
+    )
+    err_edge = abs(float(width) - 6.0)
+    assert bool(found)
+    assert err_edge < 0.01
+    assert err_edge < err_minmax / 5.0

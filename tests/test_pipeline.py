@@ -283,3 +283,69 @@ def test_uint8_frames_match_f32():
     ba = pipe.process_batch(frame_u8[None])
     bb = pipe.process_batch(frame_u8[None].astype(np.float32))
     np.testing.assert_array_equal(np.asarray(ba.disparity), np.asarray(bb.disparity))
+
+
+# ---------------------------------------------------------------------------
+# rw_estimator='plane_edge' (the native mode's robust width estimator)
+# ---------------------------------------------------------------------------
+
+
+def test_plane_edge_geometry_chain_beats_slab_minmax():
+    """On the noisy synthetic ground plane, the plane_edge estimator must
+    recover the analytic 8 m width tighter than the reference slab_minmax
+    extreme (which eats the disparity noise at the slab's min/max points)."""
+    cfg = munich_pipeline_config()
+    cam = CAMERA_MUNICH
+    disp, road_mask = synthetic_road_scene(cam, road_halfwidth=4.0)
+    pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
+    colors = jnp.zeros_like(pts)
+    cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
+    road, road_plane = pl._denoise_road(cloud, cfg, grid_hw=disp.shape)
+
+    cfg_pe = dataclasses.replace(cfg, rw_estimator="plane_edge")
+    left, right, found, width = pl._road_width(
+        cfg_pe, road, jnp.asarray(road_mask), road_plane, pts, cam
+    )
+    assert bool(found)
+    # slab_minmax tolerance in test_geometry_chain_recovers_analytic_width is
+    # 6 cm; the plane-ray + line-fit estimator should land within ~1.5 cm
+    assert float(width) == pytest.approx(8.0, abs=0.015)
+    # endpoints on the fitted plane at z = -(depth - offset)
+    np.testing.assert_allclose(float(left[2]), -(cfg.depth - cfg.rw_depth_offset),
+                               atol=1e-5)
+
+
+def test_plane_edge_fused_staged_and_batched_agree():
+    """staged == fused == batched under rw_estimator='plane_edge' (the shared
+    _road_width definition must be wired identically into all three paths)."""
+    import jax
+
+    base = tiny_pipeline(approach="rw")
+    cfg = dataclasses.replace(base.config, rw_estimator="plane_edge")
+    pipe = pl.SemanticDepthPipeline(
+        cfg, base.fcn_params, base.mono_params, fcn=base.fcn, mono=base.mono
+    )
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, size=(256, 512, 3)).astype(np.float32)
+
+    fused = pipe.process_frame(frame)
+    staged, _ = pipe.process_frame_staged(frame)
+    batched = pipe.process_batch(np.stack([frame, frame]))
+
+    a = float(fused.dist_rw)
+    b = float(staged.dist_rw)
+    c0, c1 = np.asarray(batched.dist_rw)
+    for other in (b, c0, c1):
+        assert (np.isnan(a) and np.isnan(other)) or a == pytest.approx(
+            float(other), rel=1e-4
+        )
+
+
+def test_rw_estimator_unknown_rejected():
+    base = tiny_pipeline(approach="rw")
+    cfg = dataclasses.replace(base.config, rw_estimator="nope")
+    pipe = pl.SemanticDepthPipeline(
+        cfg, base.fcn_params, base.mono_params, fcn=base.fcn, mono=base.mono
+    )
+    with pytest.raises(ValueError, match="rw_estimator"):
+        pipe.process_frame(np.zeros((256, 512, 3), np.float32))

@@ -98,6 +98,11 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--eval_scenes", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-4)
+    # Model selection must not happen on the pool the bench reports on
+    # (ADVICE r4: selecting the best checkpoint by seed-0 MAE and then
+    # reporting seed-0 MAE is optimistically biased). The curve/selection
+    # pool uses --select_seed; bench.py reports on its own seed-0 pool.
+    p.add_argument("--select_seed", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -132,7 +137,7 @@ def main():
     # 2. native FCN set
     if not os.path.exists(fcn_path):
         log(f"training native FCN-8s ({args.fcn_steps} steps) ...")
-        fcn_params = train_fcn(
+        fcn_params, _ = train_fcn(
             [(FULL_HW, 24, args.batch, args.fcn_steps)],
             seed=args.seed, init_params=load_fcn(fr_fcn_path, False),
             input_s2d=True, lr=args.lr, log=log,
@@ -145,7 +150,9 @@ def main():
 
     # 3. deep native monodepth with the accuracy curve
     log("rendering held-out eval pool ...")
-    pool, _, _, rw_true, f2f_true = scene_pool(args.eval_scenes, *FULL_HW, seed=0)
+    pool, _, _, rw_true, f2f_true = scene_pool(
+        args.eval_scenes, *FULL_HW, seed=args.select_seed
+    )
     fcn_native = load_fcn(fcn_path, True)
     # mono_params filled in by the hook before the first process_batch call
     pipe = _native_pipeline(fcn_native, None)
@@ -186,9 +193,13 @@ def main():
 
     out = {
         "protocol": "fused native pipeline (bf16, flip_average=False) over "
-                    f"{args.eval_scenes} held-out seed-0 scenes at 1024x2048; "
-                    "rw/f2f MAE vs analytic widths (reference protocol: "
-                    "semantic_depth.py:903-937 Munich MAE sweep)",
+                    f"{args.eval_scenes} held-out seed-{args.select_seed} "
+                    "scenes at 1024x2048; rw/f2f MAE vs analytic widths "
+                    "(reference protocol: semantic_depth.py:903-937 Munich "
+                    "MAE sweep). Selection pool is disjoint from the bench's "
+                    "seed-0 report pool (no selection bias in the recorded "
+                    "full_res_rw_mae_m).",
+        "select_seed": args.select_seed,
         "mono_steps": args.mono_steps,
         "fcn_steps": args.fcn_steps,
         "batch": args.batch,

@@ -113,7 +113,12 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
     hook(params, global_step) fires every ``hook_every`` steps (and at the
     end) — tools/native_mae_curve.py uses it to trace accuracy vs steps.
     ``deadline`` (time.time() epoch) stops training early, returning the
-    params so far — bench.py's cold-cache budget guard."""
+    params so far — bench.py's cold-cache budget guard.
+
+    Returns (params, truncated): truncated=True means the deadline fired
+    mid-run and the params are UNDER-TRAINED — callers must not cache them
+    as a finished set (ADVICE r4: a truncated save silently degraded every
+    later warm-cache run)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -177,8 +182,8 @@ def train_fcn(phases=FCN_PHASES, *, width_mult=1.0, fc_channels=4096, lr=1e-4,
                 hook(params, i + 1)
             if deadline is not None and time.time() > deadline:
                 log(f"  fcn ph{pi} deadline hit at step {i}; stopping early")
-                return params
-    return params
+                return params, True
+    return params, False
 
 
 def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
@@ -261,8 +266,8 @@ def train_mono(phases=MONO_PHASES, *, encoder="vgg", width_mult=1.0, lr=1e-4,
                 hook(params, i + 1)
             if deadline is not None and time.time() > deadline:
                 log(f"  mono ph{pi} deadline hit at step {i}; stopping early")
-                return params
-    return params
+                return params, True
+    return params, False
 
 
 def bench_weight_paths(out_dir=".bench_weights", full_res=False, native=False):
@@ -382,31 +387,48 @@ def ensure_bench_weights(
 
     import jax
 
+    def save_or_reject(params, path, what):
+        """Cache a FINISHED set; park a deadline-truncated one in *.partial
+        and fail the ensure (ADVICE r4: a truncated set cached under the
+        real name is silently loaded as 'trained' by every later warm run,
+        with no retrain path short of force=True)."""
+        params, truncated = params
+        if truncated:
+            partial = path + ".partial"
+            weights_lib.save_params(params, partial)
+            raise TimeoutError(
+                f"{what} training hit the bench deadline mid-run; "
+                f"under-trained params parked at {partial}, cache not "
+                f"populated (rerun with budget to train fully)"
+            )
+        weights_lib.save_params(params, path)
+        log(f"saved {path}")
+
     if force or not os.path.exists(fcn_path):
         check_budget(fcn_est, f"FCN-8s{suffix}")
         log(f"training FCN-8s{suffix} ...")
-        fcn_params = train_fcn(
-            fcn_ph, width_mult=width_mult, fc_channels=fc_channels, seed=seed,
-            init_params=fcn_init, input_s2d=native, lr=lr, log=log,
-            deadline=deadline,
+        save_or_reject(
+            train_fcn(
+                fcn_ph, width_mult=width_mult, fc_channels=fc_channels,
+                seed=seed, init_params=fcn_init, input_s2d=native, lr=lr,
+                log=log, deadline=deadline,
+            ),
+            fcn_path, f"FCN-8s{suffix}",
         )
-        weights_lib.save_params(fcn_params, fcn_path)
-        log(f"saved {fcn_path}")
-        del fcn_params
     fcn_init = None
     gc.collect()
     jax.clear_caches()
     if force or not os.path.exists(mono_path):
         check_budget(mono_est, f"monodepth{suffix}")
         log(f"training monodepth{suffix} ...")
-        mono_params = train_mono(
-            mono_ph, width_mult=width_mult, seed=seed, init_params=mono_init,
-            input_s2d=native, lr=lr, log=log,
-            deadline=deadline,
+        save_or_reject(
+            train_mono(
+                mono_ph, width_mult=width_mult, seed=seed,
+                init_params=mono_init, input_s2d=native, lr=lr, log=log,
+                deadline=deadline,
+            ),
+            mono_path, f"monodepth{suffix}",
         )
-        weights_lib.save_params(mono_params, mono_path)
-        log(f"saved {mono_path}")
-        del mono_params
     mono_init = None
     gc.collect()
     jax.clear_caches()
