@@ -370,7 +370,7 @@ def _upload_trial(pipe, host_pool, jax, jnp, np, n_batches=4):
     ]
     _ = [np.asarray(d) for d in dists]
     dt = time.time() - t0
-    return BATCH * len(host_batches) / dt
+    return BATCH * len(host_batches) / dt, upload_mbps
 
 
 def _upload_trial_overlapped(pipe, host_pool, jax, np, n_batches=4):
@@ -399,7 +399,7 @@ def _upload_trial_overlapped(pipe, host_pool, jax, np, n_batches=4):
             dists.append(pipe.process_batch(dev).dist_rw)
         _ = [np.asarray(d) for d in dists]
         dt = time.time() - t0
-    return BATCH * len(host_batches) / dt, upload_mbps
+    return BATCH * len(host_batches) / dt
 
 
 def _decode_trial(pipe, host_pool, jax, np, n_batches=4):

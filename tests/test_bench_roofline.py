@@ -150,3 +150,29 @@ def test_truncated_training_never_populates_cache(tmp_path, monkeypatch):
     fp, mp = tbw.bench_weight_paths(str(tmp_path))
     assert not os.path.exists(fp) and not os.path.exists(mp)
     assert os.path.exists(fp + ".partial")
+
+
+class _FakeOut:
+    def __init__(self, n):
+        self.dist_rw = jnp.zeros((n,))
+
+
+class _FakePipe:
+    def process_batch(self, dev):
+        return _FakeOut(dev.shape[0])
+
+
+def test_upload_and_decode_trials_return_shapes():
+    """The three ingest trials must return what main() unpacks — the serial
+    trial a (fps, upload_mbps) PAIR, the overlapped and decode trials a bare
+    fps — or main's try/except silently drops the fields from the record
+    (this exact swap shipped once)."""
+    import bench
+
+    pool = np.zeros((2 * bench.BATCH, 8, 16, 3), np.uint8)
+    fps, mbps = bench._upload_trial(_FakePipe(), pool, jax, jnp, np, n_batches=2)
+    assert fps > 0 and mbps > 0
+    fps_ov = bench._upload_trial_overlapped(_FakePipe(), pool, jax, np, n_batches=2)
+    assert isinstance(fps_ov, float) and fps_ov > 0
+    fps_dec = bench._decode_trial(_FakePipe(), pool, jax, np, n_batches=2)
+    assert isinstance(fps_dec, float) and fps_dec > 0
