@@ -14,6 +14,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.heavy
 def test_fcn_cli_trains_on_reference_mockup(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from semantic_depth_tpu.cli import fcn as cli

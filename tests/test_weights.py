@@ -70,6 +70,7 @@ def mono_tiny():
     return model, params, x
 
 
+@pytest.mark.heavy
 def test_monodepth_converter_maps_all_layers(tmp_path, mono_tiny):
     model, params, x = mono_tiny
     rng = np.random.default_rng(2)
@@ -108,6 +109,7 @@ def test_monodepth_converter_maps_all_layers(tmp_path, mono_tiny):
     assert disps[0].shape == (2, 128, 256, 2)
 
 
+@pytest.mark.heavy
 def test_fcn_converter_maps_all_layers(tmp_path):
     model = FCN8s(num_classes=3, width_mult=0.0625, fc_channels=16)
     x = jnp.zeros((1, 64, 128, 3), jnp.float32)
@@ -151,15 +153,25 @@ def test_fcn_converter_maps_all_layers(tmp_path):
     assert logits.shape == (1, 64, 128, 3)
 
 
-def test_save_load_roundtrip(tmp_path, mono_tiny):
-    model, params, x = mono_tiny
+def test_save_load_roundtrip(tmp_path):
+    # a hand-built nested tree, NOT the mono_tiny fixture: the fixture's
+    # model.init costs ~80 s of compile and the roundtrip only needs a
+    # params-shaped pytree (mixed dtypes + nesting cover the format)
+    rng = np.random.default_rng(0)
+    params = {
+        "params": {
+            "enc": {"kernel": rng.normal(size=(3, 3, 4, 8)).astype(np.float32),
+                    "bias": np.zeros((8,), np.float32)},
+            "dec": {"kernel": rng.normal(size=(1, 1, 8, 2)).astype("float16")},
+        }
+    }
     path = W.save_params(params, str(tmp_path / "mono.msgpack"))
     loaded = W.load_params(params, path)
-    a = model.apply(params, x)[0]
-    b = model.apply(loaded, x)[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 def test_monodepth_resnet50_converter_maps_all_layers(tmp_path):
     """The resnet50 order list must exactly cover the module's parameter
     tree — including a projection shortcut in EVERY resconv (upstream's
@@ -196,6 +208,7 @@ def test_monodepth_resnet50_converter_maps_all_layers(tmp_path):
     assert disps[0].shape == (2, 128, 256, 2)
 
 
+@pytest.mark.heavy
 def test_monodepth_deconv_converter(tmp_path):
     model = Monodepth(encoder="vgg", width_mult=0.0625, use_deconv=True)
     x = jnp.zeros((2, 128, 256, 3), jnp.float32)
