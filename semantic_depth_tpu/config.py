@@ -168,6 +168,12 @@ class PipelineConfig:
     # wider than the 5 cm measurement slab because plane-ray geometry is
     # noise-free per row and more rows average the mask quantization.
     rw_plane_edge_halfwidth: float = 0.5
+    # plane_edge drops pixels whose MEASURED range disagrees with the
+    # plane-ray range by more than this (meters): segmentation false
+    # positives at the mask boundary carry interpolated disparities that
+    # scatter off the plane — the same property that keeps them out of the
+    # slab estimator's narrow measured-z window (pipeline._road_width).
+    rw_plane_edge_range_tol: float = 0.25
     # Disparity multiplier: the single-image entry uses the ORIGINAL frame
     # width (semantic_depth.py:109,145); the sequence entry hardcodes 3800
     # (seq:105). None => use original width.

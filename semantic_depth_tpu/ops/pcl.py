@@ -23,7 +23,7 @@ Reference-semantics notes (quirks reproduced deliberately, see SURVEY.md §3.5):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -465,6 +465,8 @@ def plane_edge_width(
     cx, cy, focal,
     depth,
     halfwidth: float = 0.5,
+    meas_range: Optional[jnp.ndarray] = None,
+    range_tol: float = 0.25,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Robust road-width estimate: fitted-plane ray intersection + per-row
     mask edges + a weighted line fit per side, evaluated at z = -depth.
@@ -500,6 +502,15 @@ def plane_edge_width(
       cx / cy / focal: pinhole intrinsics at this grid (may be traced).
       depth: target depth in meters (z = -depth).
       halfwidth: slab half-extent in meters around ``depth``.
+      meas_range: optional (H, W) MEASURED range (-z of the back-projected
+        points). When given, pixels whose measured range disagrees with the
+        plane-ray range by more than ``range_tol`` are dropped: segmentation
+        false positives at the mask boundary carry interpolated (off-plane)
+        disparities, so their measured range scatters away from the plane —
+        the same property that keeps them out of the reference slab
+        estimator's narrow measured-z window. Without this gate they pass
+        the band test (plane-ray z is pure geometry) and fake edges.
+      range_tol: measured-vs-plane range agreement tolerance in meters.
 
     Returns (left_pt (3,), right_pt (3,), found bool, width f32). Points lie
     ON the fitted plane at z = -depth; nan + width nan when either side has
@@ -516,6 +527,10 @@ def plane_edge_width(
     wz = d0 * focal / denom
     xhat = u * wz / focal
     valid_px = road_mask & jnp.isfinite(wz) & (wz > 0.0)  # in front of camera
+    if meas_range is not None:
+        valid_px &= jnp.isfinite(meas_range) & (
+            jnp.abs(meas_range - wz) < range_tol
+        )
 
     # Per-row outermost road pixels + the plane range there; half-pixel
     # outward widening (footprint wz/f per pixel).
@@ -533,13 +548,9 @@ def plane_edge_width(
     wgt_l = (row_any & in_slab(wz_l)).astype(jnp.float32)
     wgt_r = (row_any & in_slab(wz_r)).astype(jnp.float32)
 
-    def fit_at(x_e, wz_e, weight, z_eval):
-        """Weighted LSQ x = alpha + beta*z over rows; x(z_eval). Falls back
-        to the weighted mean when rows span < ~1 distinct z (det ~ 0)."""
-        # zero-weight rows may carry inf/nan edge values; 0*inf = nan would
-        # poison every sum, so sanitize before weighting
-        x_e = jnp.where(weight > 0, x_e, 0.0)
-        z_e = jnp.where(weight > 0, -wz_e, 0.0)
+    def wlsq(x_e, z_e, weight):
+        """Weighted LSQ x = alpha + beta*z over rows -> (alpha, beta). Falls
+        back to the weighted mean when rows span < ~1 distinct z (det ~ 0)."""
         sw = jnp.sum(weight)
         sz = jnp.sum(weight * z_e)
         sx = jnp.sum(weight * x_e)
@@ -548,7 +559,30 @@ def plane_edge_width(
         det = sw * szz - sz * sz
         beta = jnp.where(jnp.abs(det) > 1e-6, (sw * szx - sz * sx) / det, 0.0)
         alpha = (sx - beta * sz) / jnp.maximum(sw, 1.0)
-        return alpha + beta * z_eval
+        return alpha, beta
+
+    def fit_at(x_e, wz_e, weight, z_eval):
+        """Two-pass robust line fit: LSQ, reject rows > 3 sigma-equivalent
+        MAD from it, refit. A segmentation false positive that survives the
+        caller's gating (e.g. a mislabeled on-plane strip in a few rows)
+        shows up as a per-row edge far off the other rows' line; an extreme
+        statistic would swallow it, the MAD cut drops the row. The 0.05 m
+        gate floor keeps clean data (MAD ~ sub-pixel quantization noise)
+        from rejecting its own rows."""
+        # zero-weight rows may carry inf/nan edge values; 0*inf = nan would
+        # poison every sum, so sanitize before weighting
+        x_e = jnp.where(weight > 0, x_e, 0.0)
+        z_e = jnp.where(weight > 0, -wz_e, 0.0)
+        a1, b1 = wlsq(x_e, z_e, weight)
+        r = x_e - (a1 + b1 * z_e)
+        r_nan = jnp.where(weight > 0, r, jnp.nan)
+        med = jnp.nanmedian(r_nan)
+        gate = jnp.maximum(4.4478 * jnp.nanmedian(jnp.abs(r_nan - med)), 0.05)
+        w2 = weight * (jnp.abs(r - med) <= gate)
+        # refit only when enough rows survive; else keep the first pass
+        wf = jnp.where(jnp.sum(w2) >= 2, w2, weight)
+        a2, b2 = wlsq(x_e, z_e, wf)
+        return a2 + b2 * z_eval
 
     z_eval = -jnp.asarray(depth, jnp.float32)
     xl = fit_at(x_l, wz_l, wgt_l, z_eval)

@@ -522,3 +522,62 @@ def test_plane_edge_width_beats_slab_minmax_under_noise():
     assert bool(found)
     assert err_edge < 0.01
     assert err_edge < err_minmax / 5.0
+
+
+def test_plane_edge_width_rejects_boundary_false_positives():
+    """The r5 regression: a segmentation halo of on-plane-looking false
+    positives extending the mask ~0.3 m past each edge in EVERY slab row
+    (what a real FCN does at the road boundary — measured 5.7 m rw MAE on
+    the native bench weights). The halo pixels' MEASURED range is
+    boundary-interpolated (off the plane-ray range), so the
+    measured-vs-plane consistency gate must drop them; ungated, the
+    estimator must reproduce the blow-up (the test pins both behaviors)."""
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.0, -1.0, 0.0, -1.5)
+    mask, wz, x = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.0)
+    halo, _, _ = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.3)
+
+    # measured range: exact on the true road; the halo ring carries
+    # interpolated (fence/background-mixed) depth ~1 m off the plane ray
+    meas = np.where(mask, wz, np.where(halo, wz * 1.10, np.nan))
+    poisoned = halo  # mask with the halo attached (contiguous, every row)
+
+    _, _, found_bad, width_bad = pcl.plane_edge_width(
+        np.asarray(poisoned), np.asarray(plane, np.float32), cx, cy, f, 10.0
+    )
+    assert bool(found_bad)
+    assert float(width_bad) > 6.4  # ungated: the halo fakes the edges
+
+    _, _, found, width = pcl.plane_edge_width(
+        np.asarray(poisoned), np.asarray(plane, np.float32), cx, cy, f, 10.0,
+        meas_range=np.asarray(meas, np.float32), range_tol=0.25,
+    )
+    assert bool(found)
+    assert float(width) == pytest.approx(6.0, abs=0.01)
+
+
+def test_plane_edge_width_mad_rejects_poisoned_rows():
+    """The line fit's MAD pass: a MINORITY of slab rows carry an on-plane
+    false-positive strip that survives every geometric gate (correct
+    measured range, on the plane). The robust refit must reject those rows
+    and recover the clean width."""
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.0, -1.0, 0.0, -1.5)
+    mask, wz, x = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.0)
+    wide, _, _ = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 5.0)
+
+    # slab rows for the flat plane: row = cy + 1.5*f/z
+    r_lo = int(cy + 1.5 * f / 10.5)
+    r_hi = int(cy + 1.5 * f / 9.5)
+    poisoned = mask.copy()
+    bad_rows = list(range(r_lo, r_hi + 1))[::4][:2]  # ~25% of slab rows
+    for r in bad_rows:
+        poisoned[r] = wide[r]
+
+    _, _, found, width = pcl.plane_edge_width(
+        np.asarray(poisoned), np.asarray(plane, np.float32), cx, cy, f, 10.0
+    )
+    assert bool(found)
+    assert float(width) == pytest.approx(6.0, abs=0.02)

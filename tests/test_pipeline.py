@@ -49,7 +49,7 @@ def test_geometry_chain_recovers_analytic_width():
     pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
     colors = jnp.zeros_like(pts)
     cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane = pl._denoise_road(cloud, cfg)
+    road, road_plane, _ = pl._denoise_road(cloud, cfg)
     depth_rw = cfg.depth - cfg.rw_depth_offset
     left, right, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
     assert bool(found)
@@ -300,11 +300,11 @@ def test_plane_edge_geometry_chain_beats_slab_minmax():
     pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
     colors = jnp.zeros_like(pts)
     cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane = pl._denoise_road(cloud, cfg, grid_hw=disp.shape)
+    road, road_plane, grid_valid = pl._denoise_road(cloud, cfg, grid_hw=disp.shape)
 
     cfg_pe = dataclasses.replace(cfg, rw_estimator="plane_edge")
     left, right, found, width = pl._road_width(
-        cfg_pe, road, jnp.asarray(road_mask), road_plane, pts, cam
+        cfg_pe, road, jnp.asarray(road_mask), road_plane, grid_valid, pts, cam
     )
     assert bool(found)
     # slab_minmax tolerance in test_geometry_chain_recovers_analytic_width is
