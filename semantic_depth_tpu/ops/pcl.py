@@ -596,6 +596,69 @@ def plane_edge_width(
     return left_pt, right_pt, found, width
 
 
+def plane_edge_width_cloud(
+    cloud: MaskedCloud,
+    road_plane: jnp.ndarray,
+    focal,
+    depth,
+    halfwidth: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plane-ray road width over an (already denoised) cloud's z-slab.
+
+    ``road_endpoints`` takes min/max x of the MEASURED slab points: an
+    extreme statistic whose error is the disparity network's per-point range
+    noise (x = u*z/f, so range noise lands in x 1:1 near the edge). The grid
+    estimator ``plane_edge_width`` removes that noise via ray-plane
+    intersection, but reads edges off the segmentation MASK — which makes it
+    hostage to every mask false positive the cloud denoise chain would have
+    removed (measured r5: raw-mask edges cost 5.7 m rw MAE on real network
+    outputs; even gated by the pre-compaction denoise validity a ~15 px
+    boundary halo survives at 0.3 m, while the FULL chain's slab extremes
+    sit within ~3 cm).
+
+    This variant composes both fixes: it takes the FULLY denoised cloud
+    (whatever made ``road_endpoints`` honest gates this estimator too, by
+    construction — including post-compaction filters that cannot be mapped
+    back to the pixel grid), selects the same measured-z slab the reference
+    uses (full density under ``compact_slab_aware``'s slab priority), and
+    replaces each point's noisy measured x with its ray-plane intersection:
+    the pixel ray through a point is exact, so the projected
+    q = p * (-d0 / (n . p)) carries only the plane-fit error. Extremes over
+    the PROJECTED x then widen by half a pixel footprint (z/f) per side —
+    the unbiased correction for the mask quantizing the true edge to pixel
+    centers.
+
+    Returns (left_pt (3,), right_pt (3,), found bool, width f32); points lie
+    ON the fitted plane; nan + width nan when the slab is empty.
+    """
+    p = cloud.xyz
+    n_dot = p @ road_plane[:3]
+    t = -road_plane[3] / n_dot
+    q = t[:, None] * p
+    z_meas = p[:, 2]
+    sel = (
+        cloud.valid
+        & jnp.isfinite(t)
+        & (t > 0.0)
+        & (z_meas < -(depth - halfwidth))
+        & (z_meas > -(depth + halfwidth))
+    )
+    found = jnp.any(sel)
+    qx = q[:, 0]
+    left_idx = jnp.argmin(jnp.where(sel, qx, jnp.inf))
+    right_idx = jnp.argmax(jnp.where(sel, qx, -jnp.inf))
+    # half-pixel-footprint outward widening at each edge's projected range
+    fp_l = -q[left_idx, 2] / focal
+    fp_r = -q[right_idx, 2] / focal
+    left_pt = q[left_idx].at[0].add(-0.5 * fp_l)
+    right_pt = q[right_idx].at[0].add(0.5 * fp_r)
+    nan3 = jnp.full((3,), jnp.nan, jnp.float32)
+    left_pt = jnp.where(found, left_pt, nan3)
+    right_pt = jnp.where(found, right_pt, nan3)
+    width = jnp.where(found, right_pt[0] - left_pt[0], jnp.nan)
+    return left_pt, right_pt, found, width
+
+
 # ---------------------------------------------------------------------------
 # Compaction: shrink capacity before O(N^2) neighbor kernels
 # ---------------------------------------------------------------------------

@@ -84,14 +84,8 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
     so the reference's ``nb_points=80 within 0.5 m`` criterion
     (semantic_depth.py:238) means the same physical density everywhere.
 
-    Returns (cloud, road_plane, grid_valid): grid_valid is the validity
-    mask in ORIGINAL grid order captured right before compaction (after
-    keep_beyond, both MAD cuts, the plane-inlier cut, and — in 'grid' stat
-    mode — the windowed statistical filter). The plane_edge road-width
-    estimator gates the segmentation mask with it: the same chain that
-    keeps the slab estimator's min/max points on the road surface removes
-    the mask's false positives (off-plane fence pixels, lateral outliers)
-    before any per-row edge is read.
+    Both road-width estimators read the returned (compacted, fully
+    filtered) cloud — see ``_road_width``.
     """
     rc = cfg.road
     cloud = pcl.keep_beyond(cloud, 2, rc.z_keep_beyond)
@@ -114,7 +108,6 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
             c, rc.neighbor_capacity, 2, slab_lo, slab_hi, px_scale
         )
 
-    grid_valid = cloud.valid
     if rc.stat_mode == "grid" and grid_hw is not None:
         h, w = grid_hw
         # FIXED window at every resolution. The kNN ball SHRINKS as the grid
@@ -133,7 +126,6 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
             rc.stat_window,
         )
         cloud = cloud.with_mask(new_valid.reshape(-1))
-        grid_valid = cloud.valid
         cloud, weights = compact_slab_aware(cloud)
     else:
         cloud, weights = compact_slab_aware(cloud)
@@ -144,7 +136,7 @@ def _denoise_road(cloud: pcl.MaskedCloud, cfg: PipelineConfig, grid_hw=None):
     cloud = neighbors.radius_outlier_filter(
         cloud, rc.radius_nb_points, rc.radius, weights=weights
     )
-    return cloud, road_plane, grid_valid
+    return cloud, road_plane
 
 
 def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineConfig):
@@ -177,34 +169,26 @@ def _fence_f2f(fence: pcl.MaskedCloud, road_plane: jnp.ndarray, cfg: PipelineCon
     return left, right, left_plane, right_plane, left_pt, right_pt, dist
 
 
-def _road_width(cfg, road_cloud, road_mask, road_plane, grid_valid, points3d,
-                cam):
+def _road_width(cfg, road_cloud, road_plane, cam):
     """Road-width endpoints under cfg.rw_estimator; ONE definition shared by
-    the fused/batched geometry tail and the staged profiling mode.
+    the fused/batched geometry tail and the staged profiling mode. Both
+    estimators read the SAME fully denoised cloud.
 
     'slab_minmax' reproduces the reference (pcl.get_end_points_of_road,
-    pcl.py:271-313). 'plane_edge' triple-gates the segmentation mask before
-    any per-row edge is read — with a real network the raw mask's false
-    positives otherwise become "edges" whose plane-ray x lands meters
-    outside the road (measured r4: 5.7 m rw MAE from exactly this):
-
-    * the road denoise chain's pre-compaction validity (``_denoise_road``
-      grid_valid) — kills off-plane fence pixels and lateral MAD outliers;
-    * measured-vs-plane range consistency inside ``plane_edge_width``
-      (cfg.rw_plane_edge_range_tol) — kills boundary false positives whose
-      interpolated disparity disagrees with the plane geometry, the same
-      property that keeps them out of the slab estimator's measured-z
-      window;
-    * the per-side line fit's MAD row-rejection pass — drops any rows still
-      poisoned after both gates."""
+    pcl.py:271-313): min/max x of the measured slab points — inherits the
+    disparity network's per-point range noise at the two extremes.
+    'plane_edge' (pcl.plane_edge_width_cloud) takes the same slab points but
+    replaces each measured x with its ray-plane intersection, so the only
+    remaining error sources are the plane fit and mask quantization. Earlier
+    r5 variants read edges off the segmentation mask instead and were
+    hostage to its false positives (5.7 m rw MAE raw, 0.3 m gated by the
+    pre-compaction denoise validity — a ~15 px boundary halo the
+    post-compaction filters remove cannot be mapped back to the grid, so the
+    estimator moved to the cloud the full chain already cleans)."""
     depth_rw = cfg.depth - cfg.rw_depth_offset
     if cfg.rw_estimator == "plane_edge":
-        grid_keep = road_mask & grid_valid.reshape(road_mask.shape)
-        return pcl.plane_edge_width(
-            grid_keep, road_plane, cam.cx, cam.cy, cam.focal,
-            depth_rw, cfg.rw_plane_edge_halfwidth,
-            meas_range=-points3d[..., 2],
-            range_tol=cfg.rw_plane_edge_range_tol,
+        return pcl.plane_edge_width_cloud(
+            road_cloud, road_plane, cam.focal, depth_rw, cfg.rw_slab_halfwidth
         )
     if cfg.rw_estimator != "slab_minmax":
         raise ValueError(f"unknown rw_estimator: {cfg.rw_estimator!r}")
@@ -356,11 +340,9 @@ class SemanticDepthPipeline:
         colors = frame_small[:, :, ::-1]  # BGR -> RGB (semantic_depth.py:161)
 
         road = pcl.from_dense(points3d, colors, road_mask)
-        road, road_plane, road_grid_valid = _denoise_road(road, cfg, grid_hw=(h, w))
+        road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
 
-        left_rw, right_rw, found, dist_rw = _road_width(
-            cfg, road, road_mask, road_plane, road_grid_valid, points3d, cam
-        )
+        left_rw, right_rw, found, dist_rw = _road_width(cfg, road, road_plane, cam)
 
         nan3 = jnp.full((3,), jnp.nan, jnp.float32)
         nan4 = jnp.full((4,), jnp.nan, jnp.float32)
@@ -548,15 +530,12 @@ class SemanticDepthPipeline:
         times["to3D"] = _time.time() - t0
 
         t0 = _time.time()
-        road_cloud, road_plane, road_grid_valid = sync(
-            S["road"](points3d, frame_small, road_mask)
-        )
+        road_cloud, road_plane = sync(S["road"](points3d, frame_small, road_mask))
         times["road"] = _time.time() - t0
 
         t0 = _time.time()
         left_rw, right_rw, found, dist_rw = sync(
-            S["rw"](road_cloud, road_mask, road_plane, road_grid_valid,
-                    points3d, focal)
+            S["rw"](road_cloud, road_plane, focal)
         )
         times["rw"] = _time.time() - t0
 
@@ -605,11 +584,9 @@ class SemanticDepthPipeline:
             road = pcl.from_dense(points3d, colors, road_mask)
             return _denoise_road(road, cfg, grid_hw=(h, w))
 
-        def rw_stage(road_cloud, road_mask, road_plane, grid_valid, points3d,
-                     focal):
+        def rw_stage(road_cloud, road_plane, focal):
             cam, _ = _scaled_camera(cfg, focal)
-            return _road_width(cfg, road_cloud, road_mask, road_plane,
-                               grid_valid, points3d, cam)
+            return _road_width(cfg, road_cloud, road_plane, cam)
 
         def fences_stage(points3d, frame_small, fence_mask):
             colors = frame_small[:, :, ::-1]

@@ -100,7 +100,7 @@ def test_full_chain_matches_oracle_within_3cm():
     colors = jnp.zeros_like(pts)
 
     road = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane, _ = pl._denoise_road(road, cfg, grid_hw=(256, 512))
+    road, road_plane = pl._denoise_road(road, cfg, grid_hw=(256, 512))
     left, right, found = pcl.road_endpoints(road, cfg.depth - cfg.rw_depth_offset,
                                             cfg.rw_slab_halfwidth)
     assert bool(found)

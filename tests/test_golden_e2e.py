@@ -110,7 +110,7 @@ def _run(tmp_path):
     disp, road_mask, fence_mask = tce.synthetic_scene_with_fences(CAMERA_MUNICH)
     pts = camera_lib.reproject_disparity(jnp.asarray(disp), CAMERA_MUNICH)
     road = pcl.from_dense(pts, jnp.zeros_like(pts), jnp.asarray(road_mask))
-    road, road_plane, _ = pl._denoise_road(road, gcfg, grid_hw=(256, 512))
+    road, road_plane = pl._denoise_road(road, gcfg, grid_hw=(256, 512))
     left, right, found = pcl.road_endpoints(
         road, gcfg.depth - gcfg.rw_depth_offset, gcfg.rw_slab_halfwidth
     )

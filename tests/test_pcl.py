@@ -581,3 +581,65 @@ def test_plane_edge_width_mad_rejects_poisoned_rows():
     )
     assert bool(found)
     assert float(width) == pytest.approx(6.0, abs=0.02)
+
+
+def test_plane_edge_width_cloud_beats_slab_minmax_under_noise():
+    """The shipped plane_edge implementation (pipeline._road_width): same
+    denoised slab points as road_endpoints, but each measured x replaced by
+    its ray-plane intersection — the per-point range noise must drop out."""
+    import jax.numpy as jnp
+
+    h, w, f = 256, 512, 500.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    plane = (0.0, -1.0, 0.0, -1.5)
+    mask, wz, x = _analytic_road_mask(h, w, f, cx, cy, plane, lambda z: 3.0)
+
+    u = np.arange(w, dtype=np.float64)[None, :] - cx
+    v = cy - np.arange(h, dtype=np.float64)[:, None]
+    errs_cloud, errs_slab = [], []
+    lp = None
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        wz_noisy = np.where(
+            mask, wz * (1.0 + 0.02 * rng.standard_normal((h, w))), np.nan
+        )
+        xyz = np.stack(
+            [u * wz_noisy / f, v * wz_noisy / f, -wz_noisy], axis=-1
+        ).reshape(-1, 3)
+        ok = np.isfinite(xyz).all(axis=1)
+        xyz[~ok] = 0.0
+        cloud = pcl.MaskedCloud(
+            xyz=jnp.asarray(xyz, jnp.float32),
+            rgb=jnp.zeros_like(jnp.asarray(xyz, jnp.float32)),
+            valid=jnp.asarray(ok & mask.reshape(-1)),
+        )
+        lp_mm, rp_mm, _ = pcl.road_endpoints(cloud, 10.0, 0.05)
+        errs_slab.append(abs(float(jnp.abs(lp_mm[0] - rp_mm[0])) - 6.0))
+        lp, rp, found, width = pcl.plane_edge_width_cloud(
+            cloud, jnp.asarray(plane, jnp.float32), f, 10.0, 0.05
+        )
+        assert bool(found)
+        errs_cloud.append(abs(float(width) - 6.0))
+    # 2% range noise at 10 m = +-20 cm per point at the slab extremes; the
+    # projected estimator's residual is mask quantization (~1 footprint).
+    # Slab's error is a noise extreme (a single seed can get lucky), so the
+    # superiority claim is over the seed mean.
+    assert np.mean(errs_cloud) < 0.03
+    assert np.mean(errs_cloud) < np.mean(errs_slab) / 3.0
+    # endpoints lie ON the plane (y = -1.5) near z = -10
+    np.testing.assert_allclose(float(lp[1]), -1.5, atol=1e-4)
+    assert abs(float(lp[2]) + 10.0) < 0.2
+
+
+def test_plane_edge_width_cloud_empty_slab():
+    import jax.numpy as jnp
+
+    xyz = jnp.zeros((64, 3), jnp.float32)
+    cloud = pcl.MaskedCloud(xyz=xyz, rgb=jnp.zeros_like(xyz),
+                            valid=jnp.zeros((64,), bool))
+    lp, rp, found, width = pcl.plane_edge_width_cloud(
+        cloud, jnp.asarray((0.0, -1.0, 0.0, -1.5), jnp.float32), 500.0, 10.0
+    )
+    assert not bool(found)
+    assert np.isnan(float(width))
+    assert np.isnan(np.asarray(lp)).all() and np.isnan(np.asarray(rp)).all()

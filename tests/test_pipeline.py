@@ -49,7 +49,7 @@ def test_geometry_chain_recovers_analytic_width():
     pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
     colors = jnp.zeros_like(pts)
     cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane, _ = pl._denoise_road(cloud, cfg)
+    road, road_plane = pl._denoise_road(cloud, cfg)
     depth_rw = cfg.depth - cfg.rw_depth_offset
     left, right, found = pcl.road_endpoints(road, depth_rw, cfg.rw_slab_halfwidth)
     assert bool(found)
@@ -300,19 +300,18 @@ def test_plane_edge_geometry_chain_beats_slab_minmax():
     pts = camera_lib.reproject_disparity(jnp.asarray(disp), cam)
     colors = jnp.zeros_like(pts)
     cloud = pcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane, grid_valid = pl._denoise_road(cloud, cfg, grid_hw=disp.shape)
+    road, road_plane = pl._denoise_road(cloud, cfg, grid_hw=disp.shape)
 
     cfg_pe = dataclasses.replace(cfg, rw_estimator="plane_edge")
-    left, right, found, width = pl._road_width(
-        cfg_pe, road, jnp.asarray(road_mask), road_plane, grid_valid, pts, cam
-    )
+    left, right, found, width = pl._road_width(cfg_pe, road, road_plane, cam)
     assert bool(found)
     # slab_minmax tolerance in test_geometry_chain_recovers_analytic_width is
-    # 6 cm; the plane-ray + line-fit estimator should land within ~1.5 cm
+    # 6 cm; the ray-plane-projected estimator should land within ~1.5 cm
     assert float(width) == pytest.approx(8.0, abs=0.015)
-    # endpoints on the fitted plane at z = -(depth - offset)
-    np.testing.assert_allclose(float(left[2]), -(cfg.depth - cfg.rw_depth_offset),
-                               atol=1e-5)
+    # endpoints lie ON the fitted plane (y = -1.5) within the measured-z slab
+    np.testing.assert_allclose(float(left[1]), -1.5, atol=0.02)
+    assert abs(float(left[2]) + (cfg.depth - cfg.rw_depth_offset)) \
+        <= cfg.rw_slab_halfwidth + 0.02
 
 
 def test_plane_edge_fused_staged_and_batched_agree():

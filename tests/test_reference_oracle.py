@@ -261,7 +261,7 @@ def test_full_road_fence_chain_vs_reference(ref_pcl):
 
     # ours: fused masked chain
     road = mpcl.from_dense(pts, colors, jnp.asarray(road_mask))
-    road, road_plane, _ = pl._denoise_road(road, cfg, grid_hw=(256, 512))
+    road, road_plane = pl._denoise_road(road, cfg, grid_hw=(256, 512))
     left, right, found = mpcl.road_endpoints(
         road, cfg.depth - cfg.rw_depth_offset, cfg.rw_slab_halfwidth
     )

@@ -130,7 +130,7 @@ def main():
     def geom_fn(points3d, frame_small, road_mask):
         def one(p3, fs, rm):
             road = pcl.from_dense(p3, fs[:, :, ::-1], rm)
-            road, road_plane, _gv = _denoise_road(road, cfg, grid_hw=(h, w))
+            road, road_plane = _denoise_road(road, cfg, grid_hw=(h, w))
             l, r, found = pcl.road_endpoints(
                 road, cfg.depth - cfg.rw_depth_offset, cfg.rw_slab_halfwidth
             )

@@ -87,7 +87,7 @@ def main():
     def road_chain_op(p, s, rm, carry):
         def one(p3d, fs, m):
             c = pcl.from_dense(p3d, fs, m)
-            c, plane, _gv = pl_mod._denoise_road(c, cfg, grid_hw=(h, w))
+            c, plane = pl_mod._denoise_road(c, cfg, grid_hw=(h, w))
             l, r, found = pcl.road_endpoints(
                 c, cfg.depth - cfg.rw_depth_offset, cfg.rw_slab_halfwidth
             )
