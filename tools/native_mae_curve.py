@@ -297,6 +297,17 @@ def main():
 
     curve = []
     best = {"mae": float("inf")}
+    # step-0 baseline: the CACHED native set must not regress — a retrain
+    # whose every checkpoint evals worse keeps the cache untouched
+    if os.path.exists(mono_path):
+        pipe.mono_params = load_mono(mono_path, True)
+        fin0, mae0, fmae0 = _eval(pipe, eval_batches, rw_true, f2f_true)
+        log(f"  [curve] step 0 (cached set): rw_mae "
+            f"{mae0 if mae0 is None else round(mae0, 4)} m, finite {fin0:.3f}")
+        curve.append({"step": 0, "rw_mae_m": mae0, "f2f_mae_m": fmae0,
+                      "finite_frac": fin0, "note": "cached native set"})
+        if mae0 is not None:
+            best.update(mae=mae0, step=0)
 
     def hook(params, step):
         pipe.mono_params = params
