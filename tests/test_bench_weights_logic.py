@@ -114,10 +114,10 @@ def test_ensure_bench_weights_training_path_runs(tmp_path, monkeypatch):
     saved = []
 
     def fake_train_fcn(*a, **k):
-        return dummy
+        return dummy, False  # (params, deadline_truncated) contract
 
     def fake_train_mono(*a, **k):
-        return dummy
+        return dummy, False
 
     class FakeWeightsLib:
         @staticmethod
