@@ -100,6 +100,58 @@ FULL_RES_BATCH = 4
 BENCH_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_weights")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 
+# Bump when the probe/floor METHODOLOGY changes so stale sidecar receipts
+# (below) are recomputed rather than replayed into the record.
+_RECEIPT_VERSION = 2
+
+
+def _receipt_load(name, key):
+    """Weight-independent measurements (conv-probe ceilings, geometry
+    floors) are deterministic given (code version, device kind, inputs), so
+    they are cached as sidecar JSON in .bench_weights — the r4 warm bench
+    re-measured them every run and blew its wall-clock budget (1522 s vs
+    1200). The cached *value* is still a real measurement from this chip;
+    only the repeat cost is skipped."""
+    try:
+        with open(os.path.join(BENCH_WEIGHTS_DIR, name)) as f:
+            d = json.load(f)
+        if d.get("key") == key:
+            return d["value"]
+    except Exception:
+        pass
+    return None
+
+
+def _receipt_save(name, key, value):
+    try:
+        os.makedirs(BENCH_WEIGHTS_DIR, exist_ok=True)
+        with open(os.path.join(BENCH_WEIGHTS_DIR, name), "w") as f:
+            json.dump({"key": key, "value": value}, f)
+    except Exception:
+        pass  # cache is an optimization; never fail the bench over it
+
+
+def _scene_pool_cached(scene_pool, n, h, w, seed, np, log):
+    """scene_pool() renders on the single host core (~90 s for the 32-scene
+    1024x2048 pool); the pool is a pure function of (n, h, w, seed, code), so
+    cache the arrays as an uncompressed npz next to the weights."""
+    path = os.path.join(
+        BENCH_WEIGHTS_DIR, f"scene_pool_v{_RECEIPT_VERSION}_{n}x{h}x{w}_s{seed}.npz"
+    )
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            return tuple(z[k] for k in ("imgs", "labels", "disps", "rw", "f2f"))
+        except Exception as e:
+            log(f"scene pool cache unreadable ({type(e).__name__}); re-rendering")
+    imgs, labels, disps, rw, f2f = scene_pool(n, h, w, seed=seed)
+    try:
+        os.makedirs(BENCH_WEIGHTS_DIR, exist_ok=True)
+        np.savez(path, imgs=imgs, labels=labels, disps=disps, rw=rw, f2f=f2f)
+    except Exception:
+        pass
+    return imgs, labels, disps, rw, f2f
+
 # Peak dense bf16 TFLOP/s per chip by device_kind substring (public specs).
 _PEAK_TFLOPS = [
     ("v6", 918.0),  # Trillium
@@ -215,11 +267,23 @@ def _collect_convs(jaxpr, out):
                     _collect_convs(sub, out)
 
 
-def _probe_conv_class(rec, jax, jnp, np, iters=12):
-    """Sustained TF/s of one conv shape class, run standalone as a CHAINED
-    fori_loop (the scalar carry feeds back into the input so XLA cannot
-    overlap or elide iterations; dispatch/fetch amortized as in
-    _measured_peak). Returns TF/s or None."""
+_PROBE_LADDER = (8, 64, 512, 4096, 32768)
+
+
+def _probe_conv_class(rec, jax, jnp, np):
+    """Sustained TF/s of one conv shape class by TWO-POINT chained timing.
+
+    The class runs as a fori_loop of N chained convs (the scalar carry feeds
+    back into the input so XLA cannot overlap or elide iterations) for
+    increasing ladder N until the call comfortably outlasts timing noise;
+    per-iteration time is the DIFFERENCE between successive ladder timings,
+    so the constant dispatch+fetch overhead of this tunneled host->TPU relay
+    cancels exactly. (The r4 probes timed a single 12-iteration call, so a
+    ~100 ms round trip swamped every sub-millisecond conv class — shapes the
+    fused program demonstrably executes faster probed at 1-4 TF/s and the
+    'ceiling' fraction blew past 4x.) Ladder values are fixed so the
+    compiled programs hit the persistent compilation cache across runs.
+    Returns TF/s or None."""
     import jax.lax as lax
 
     b = min(rec["b"], 8)
@@ -239,33 +303,64 @@ def _probe_conv_class(rec, jax, jnp, np, iters=12):
             total = max(kk - 2 + d, 0)
             pad.append((total // 2, total - total // 2))
 
-    @jax.jit
-    def run(x, kern):
-        def body(_, acc):
-            xx = x * (1.0 + acc * 1e-30).astype(jnp.bfloat16)
-            y = lax.conv_general_dilated(
-                xx, kern, rec["stride"], pad,
-                lhs_dilation=rec["lhs_dilation"], dimension_numbers=dn,
-            )
-            return y.reshape(-1)[0].astype(jnp.float32)
+    def make_run(iters):
+        @jax.jit
+        def run(x, kern):
+            def body(_, acc):
+                xx = x * (1.0 + acc * 1e-30).astype(jnp.bfloat16)
+                y = lax.conv_general_dilated(
+                    xx, kern, rec["stride"], pad,
+                    lhs_dilation=rec["lhs_dilation"], dimension_numbers=dn,
+                )
+                # the carry must consume EVERY output element: a single-pixel
+                # carry (y[...,0]) lets XLA slice the conv down to one output
+                # column, and the ladder differencing then reports absurd
+                # >100 PF/s "ceilings" (observed). A full-output sum is work
+                # the real program pays anyway (outputs are materialized or
+                # fused into consumers), so it belongs in the ceiling.
+                return jnp.sum(y, dtype=jnp.float32)
 
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    np.asarray(run(x, kern))  # compile
+        return run
+
     out_hw = (
         h * rec["lhs_dilation"][0] // rec["stride"][0],
         w * rec["lhs_dilation"][1] // rec["stride"][1],
     )
     flops = 2.0 * b * out_hw[0] * out_hw[1] * kh * kw * rec["cin"] * rec["cout"]
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        np.asarray(run(x, kern))
-        best = min(best, (time.time() - t0) / iters)
-    return flops / best
+
+    prev_iters = prev_t = None
+    per_iter = None
+    for iters in _PROBE_LADDER:
+        run = make_run(iters)
+        np.asarray(run(x, kern))  # compile
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            np.asarray(run(x, kern))
+            t = min(t, time.time() - t0)
+        if prev_iters is not None and t > prev_t:
+            per_iter = (t - prev_t) / (iters - prev_iters)
+        prev_iters, prev_t = iters, t
+        # stop escalating once the call itself dwarfs dispatch noise AND a
+        # difference estimate exists (big conv classes stop at the first or
+        # second rung; only microsecond classes walk the whole ladder)
+        if t >= 0.25 and per_iter is not None:
+            break
+        # a multi-second call is already >95% compute on this ~100 ms relay;
+        # don't escalate to a rung that would run minutes just to difference
+        if t >= 4.0:
+            break
+    if per_iter is None or per_iter <= 0:
+        # degenerate timing (noise made the longer call look faster):
+        # fall back to the overhead-inclusive lower bound
+        per_iter = prev_t / prev_iters
+    return flops / per_iter
 
 
-def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=24):
+def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left,
+                   max_classes=24, dev_kind=""):
     """(receipts dict or None). Groups the program's convs by
     (cin, cout, k, stride, lhs_dilation), probes the top FLOP classes, and
     returns the FLOP-weighted harmonic-mean ceiling + per-class receipts.
@@ -291,10 +386,28 @@ def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=24
     total = sum(g["flops"] for g in groups.values())
     ranked = sorted(groups.items(), key=lambda kv: -kv[1]["flops"])
 
+    # sidecar cache: ceilings are a property of (chip, conv classes, probe
+    # methodology), not of the weights — skip the ~5 min re-probe on warm runs
+    sig = ";".join(
+        f"{k[0]}x{k[1]}k{k[2]}s{k[3]}d{k[4]}:{g['flops']:.3g}"
+        for k, g in ranked[:max_classes]
+    )
+    cache_key = f"v{_RECEIPT_VERSION}|{dev_kind}|{sig}"
+    cached = _receipt_load("conv_probe_receipts.json", cache_key)
+    if cached is not None:
+        log("[bench] conv probe receipts loaded from sidecar cache")
+        return cached
+
     probed = []
     for key, g in ranked[:max_classes]:
         if time_left() < 120:
             log("conv probes stopped early: bench budget low")
+            break
+        if sum(f for _, f, _ in probed) >= 0.95 * total:
+            # the ceiling is FLOP-weighted: classes beyond 95% cumulative
+            # coverage move it by <5% worst-case but each costs a ladder of
+            # compiles over this ~100 ms relay — stop at the receipts target
+            log("conv probes stopped: FLOP coverage target reached")
             break
         try:
             tfs = _probe_conv_class(g["rec"], jax, jnp, np)
@@ -302,15 +415,25 @@ def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=24
             log(f"conv probe {key} failed: {type(e).__name__}: {e}")
             continue
         if tfs:
-            probed.append((key, g["flops"], tfs))
             cin, cout, k, stride, dil = key
+            spec_peak = next(
+                (tf * 1e12 for sub, tf in _PEAK_TFLOPS if sub in dev_kind), None
+            )
+            if spec_peak and tfs > 1.5 * spec_peak:
+                # timing artifact (elided work / clock skew): a class cannot
+                # beat the chip's dense-bf16 spec — better no receipt than a
+                # fabricated one
+                log(f"  conv probe {cin}->{cout} k{k} DROPPED: "
+                    f"{tfs / 1e12:.0f} TF/s exceeds spec peak")
+                continue
+            probed.append((key, g["flops"], tfs))
             log(f"  conv probe {cin}->{cout} k{k} s{stride} dil{dil}: "
                 f"{tfs / 1e12:.1f} TF/s ({100 * g['flops'] / total:.1f}% of conv FLOPs)")
     if not probed:
         return None
     probed_flops = sum(f for _, f, _ in probed)
     ceiling = probed_flops / sum(f / tfs for _, f, tfs in probed)
-    return {
+    receipts = {
         "conv_weighted_ceiling_tflops": round(ceiling / 1e12, 2),
         "conv_probe_flop_coverage": round(probed_flops / total, 3),
         "conv_total_flops": total,
@@ -319,6 +442,10 @@ def _conv_roofline(jitted_fn, args, jax, jnp, np, log, time_left, max_classes=24
             for (cin, cout, k, s, d), _, tfs in probed
         },
     }
+    # only a COMPLETE probe pass is worth replaying into future records
+    if probed_flops / total >= 0.9:
+        _receipt_save("conv_probe_receipts.json", cache_key, receipts)
+    return receipts
 
 
 # ---------------------------------------------------------------------------
@@ -598,8 +725,8 @@ def main():
     pipe = SemanticDepthPipeline(cfg, fcn_params, mono_params, fcn=fcn, mono=mono)
 
     n_pool = POOL_BATCHES * BATCH
-    pool, pool_labels, pool_disps, rw_true, f2f_true = scene_pool(
-        n_pool, 1024, 2048, seed=0
+    pool, pool_labels, pool_disps, rw_true, f2f_true = _scene_pool_cached(
+        scene_pool, n_pool, 1024, 2048, 0, np, log
     )
     batches = [
         jax.device_put(jnp.asarray(pool[i * BATCH : (i + 1) * BATCH]))
@@ -688,6 +815,7 @@ def main():
         try:
             receipts = _conv_roofline(
                 pipe._process_batch, batch_args, jax, jnp, np, log, time_left,
+                dev_kind=getattr(dev, "device_kind", str(dev)),
             )
             if receipts:
                 conv_total_flops = receipts.pop("conv_total_flops")
@@ -747,19 +875,29 @@ def main():
     # #1a): perfect masks + analytic disparity through the fused geometry —
     # what a FLAWLESS network would score. Decomposes every *_rw_mae_m into
     # floor + net-quality gap.
-    if time_left() > 150:
+    floors_key = (
+        f"v{_RECEIPT_VERSION}|{getattr(dev, 'device_kind', str(dev))}"
+        f"|pool{n_pool}x1024x2048s0"
+    )
+    cached_floors = _receipt_load("geometry_floors.json", floors_key)
+    if cached_floors is not None:
+        out.update(cached_floors)
+        log("[bench] geometry floors loaded from sidecar cache: "
+            f"{cached_floors}")
+    elif time_left() > 150:
+        floors = {}
         try:
             floor_pe = _geometry_floor(
                 cfg_fr_native, pool, pool_labels, pool_disps, rw_true, jax, jnp, np
             )
             if floor_pe is not None:
-                out["floor_rw_mae_m"] = round(floor_pe, 4)
+                floors["floor_rw_mae_m"] = round(floor_pe, 4)
             floor_slab = _geometry_floor(
                 dataclasses.replace(cfg_fr_native, rw_estimator="slab_minmax"),
                 pool, pool_labels, pool_disps, rw_true, jax, jnp, np,
             )
             if floor_slab is not None:
-                out["floor_rw_mae_slab_m"] = round(floor_slab, 4)
+                floors["floor_rw_mae_slab_m"] = round(floor_slab, 4)
             log(f"[bench] geometry floors at {time.time()-t_start:.0f}s: "
                 f"plane_edge {floor_pe}, slab_minmax {floor_slab}")
         except Exception as e:
@@ -767,15 +905,20 @@ def main():
         try:
             # the headline 256x512 protocol's floor (VERDICT r4 #3: is the
             # recorded rw_mae_m the resolution's floor or undertraining?)
-            p256, l256, d256, rw256, _ = scene_pool(16, 256, 512, seed=0)
+            p256, l256, d256, rw256, _ = _scene_pool_cached(
+                scene_pool, 16, 256, 512, 0, np, log
+            )
             floor_256 = _geometry_floor(
                 cfg, p256, l256, d256, rw256, jax, jnp, np, batch=8
             )
             if floor_256 is not None:
-                out["floor_rw_mae_256_m"] = round(floor_256, 4)
+                floors["floor_rw_mae_256_m"] = round(floor_256, 4)
                 log(f"[bench] 256x512 slab floor: {floor_256}")
         except Exception as e:
             log(f"256x512 floor leg skipped: {type(e).__name__}: {e}")
+        out.update(floors)
+        if len(floors) == 3:  # cache only a complete pass
+            _receipt_save("geometry_floors.json", floors_key, floors)
     else:
         log("geometry floor legs skipped: bench budget low")
 

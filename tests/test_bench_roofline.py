@@ -49,17 +49,24 @@ def test_collect_convs_shapes_and_flops():
     assert by_cout[8]["lhs_dilation"] == (2, 2)
 
 
-def test_probe_conv_class_returns_throughput():
-    from bench import _probe_conv_class
+def test_probe_conv_class_returns_throughput(monkeypatch):
+    import bench
 
+    # short ladder: CPU walks every rung; the real (8..32768) ladder exists
+    # to outlast the TPU relay's ~100 ms dispatch, irrelevant in-process
+    monkeypatch.setattr(bench, "_PROBE_LADDER", (2, 8, 32))
     convs = _traced_convs()
-    tfs = _probe_conv_class(convs[1], jax, jnp, np, iters=3)
+    tfs = bench._probe_conv_class(convs[1], jax, jnp, np)
     assert tfs is not None and tfs > 0
 
 
-def test_conv_roofline_receipts_fields():
+def test_conv_roofline_receipts_fields(monkeypatch, tmp_path):
+    import bench
     from bench import _conv_roofline
 
+    monkeypatch.setattr(bench, "_PROBE_LADDER", (2, 8, 32))
+    # receipts sidecars must land in a scratch dir, not the repo cache
+    monkeypatch.setattr(bench, "BENCH_WEIGHTS_DIR", str(tmp_path))
     m = _TinyConvNet()
     x = jnp.zeros((2, 32, 64, 3))
     p = m.init(jax.random.PRNGKey(0), x)
@@ -76,10 +83,12 @@ def test_conv_roofline_receipts_fields():
     assert min(vals) <= r["conv_weighted_ceiling_tflops"] <= max(vals) + 0.1
 
 
-def test_conv_roofline_respects_budget():
+def test_conv_roofline_respects_budget(monkeypatch, tmp_path):
     """time_left below the floor must stop probing before any probe runs."""
+    import bench
     from bench import _conv_roofline
 
+    monkeypatch.setattr(bench, "BENCH_WEIGHTS_DIR", str(tmp_path))
     m = _TinyConvNet()
     x = jnp.zeros((2, 32, 64, 3))
     p = m.init(jax.random.PRNGKey(0), x)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import gc
 import json
 import os
@@ -54,6 +55,8 @@ CURVE_DOC = os.path.join(
 HEADLINE_CURVE_DOC = os.path.join(
     os.path.dirname(CURVE_DOC), "HEADLINE_MAE_CURVE.json"
 )
+# SWA window: uniform average of the last K eval-point checkpoints
+SWA_K = 3
 
 
 def _native_pipeline(fcn_params, mono_params):
@@ -217,13 +220,17 @@ def main():
     p.add_argument("--fcn_steps", type=int, default=FCN_NATIVE_PHASES[0][3])
     p.add_argument("--eval_every", type=int, default=800)
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--eval_scenes", type=int, default=16)
+    p.add_argument("--eval_scenes", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     # Model selection must not happen on the pool the bench reports on
     # (ADVICE r4: selecting the best checkpoint by seed-0 MAE and then
     # reporting seed-0 MAE is optimistically biased). The curve/selection
     # pool uses --select_seed; bench.py reports on its own seed-0 pool.
     p.add_argument("--select_seed", type=int, default=1)
+    p.add_argument("--report_seed0", action="store_true",
+                   help="after training, eval the final cached native set on "
+                        "the bench's seed-0 pool (report-only; cannot bias "
+                        "selection, which uses --select_seed)")
     p.add_argument("--headline", action="store_true",
                    help="curve the HEADLINE 256x512 monodepth set instead "
                         "of the native full-res set (VERDICT r4 item 3)")
@@ -307,24 +314,56 @@ def main():
         curve.append({"step": 0, "rw_mae_m": mae0, "f2f_mae_m": fmae0,
                       "finite_frac": fin0, "note": "cached native set"})
         if mae0 is not None:
-            best.update(mae=mae0, step=0)
+            best.update(mae=mae0, step=0, kind="cached")
+
+    # SWA window: a single eval-point checkpoint is selected at its
+    # selection-pool noise minimum, so its seed-1 number is optimistic and
+    # transfers poorly (r4's 0.0226 seed-1 pick scored 0.0365 on the bench's
+    # seed-0 pool). A uniform average of the last K eval-point checkpoints
+    # (stochastic weight averaging over the 800-step sampling grid) smooths
+    # that cherry-pick variance; both the raw and the averaged candidate are
+    # evaluated, and whichever wins on the (held-out) selection pool is kept.
+    swa_window = []
+
+    def _swa_params():
+        n = len(swa_window)
+        return jax.tree_util.tree_map(
+            lambda *xs: functools.reduce(np.add, xs) / np.float32(n),
+            *swa_window,
+        )
+
+    def _try_candidate(cand, step, kind, fields):
+        # device_put once: a host-numpy SWA tree left as-is would re-upload
+        # all ~500 MB of params on EVERY eval dispatch over this relay
+        pipe.mono_params = jax.device_put(cand)
+        fin, mae, fmae = _eval(pipe, eval_batches, rw_true, f2f_true)
+        tag = "" if kind == "raw" else f" [{kind}]"
+        log(f"  [curve] step {step}{tag}: rw_mae "
+            f"{mae if mae is None else round(mae, 4)} m, "
+            f"f2f_mae {fmae if fmae is None else round(fmae, 4)} m, "
+            f"finite {fin:.3f}")
+        prefix = "" if kind == "raw" else "swa_"
+        fields[f"{prefix}rw_mae_m"] = mae
+        fields[f"{prefix}f2f_mae_m"] = fmae
+        fields[f"{prefix}finite_frac"] = fin
+        if mae is not None and mae < best["mae"]:
+            best.update(mae=mae, step=step, kind=kind)
+            weights_lib.save_params(cand, mono_path)
+            log(f"  new best ({kind}) at step {step}; saved {mono_path}")
 
     def hook(params, step):
-        pipe.mono_params = params
+        fields = {"step": step}
         try:
-            fin, mae, fmae = _eval(pipe, eval_batches, rw_true, f2f_true)
+            _try_candidate(params, step, "raw", fields)
+            swa_window.append(jax.device_get(params))
+            if len(swa_window) > SWA_K:
+                swa_window.pop(0)
+            if len(swa_window) >= 2:
+                _try_candidate(_swa_params(), step, f"swa{len(swa_window)}",
+                               fields)
         except Exception as e:  # eval must never kill the training run
             log(f"  eval at step {step} failed: {type(e).__name__}: {e}")
-            return
-        log(f"  [curve] step {step}: rw_mae {mae if mae is None else round(mae, 4)} m, "
-            f"f2f_mae {fmae if fmae is None else round(fmae, 4)} m, finite {fin:.3f}")
-        curve.append({"step": step, "rw_mae_m": mae, "f2f_mae_m": fmae,
-                      "finite_frac": fin})
-        if mae is not None and mae < best["mae"]:
-            best["mae"] = mae
-            best["step"] = step
-            weights_lib.save_params(params, mono_path)
-            log(f"  new best at step {step}; saved {mono_path}")
+        curve.append(fields)
 
     log(f"training native monodepth ({args.mono_steps} steps, "
         f"eval every {args.eval_every}) ...")
@@ -349,10 +388,32 @@ def main():
         "batch": args.batch,
         "lr": args.lr,
         "best_step": best.get("step"),
+        "best_kind": best.get("kind"),
         "best_rw_mae_m": None if best["mae"] == float("inf") else best["mae"],
         "wall_s": round(time.time() - t_start, 1),
         "curve": curve,
     }
+    # Report-only: the final cached set's MAE on the bench's seed-0 report
+    # pool (exactly what BENCH full_res_rw_mae_m will carry). Runs AFTER
+    # selection closed, so it cannot bias it — it just says now, not at the
+    # next bench run, whether the <=0.03 m clause is met.
+    if args.report_seed0 and os.path.exists(mono_path):
+        try:
+            pool0, _, _, rw0, f2f0 = scene_pool(32, *FULL_HW, seed=0)
+            b0 = [
+                jax.device_put(jnp.asarray(pool0[i : i + args.batch]))
+                for i in range(0, 32, args.batch)
+            ]
+            del pool0
+            pipe.mono_params = load_mono(mono_path, True)
+            fin_r, mae_r, fmae_r = _eval(pipe, b0, rw0, f2f0)
+            log(f"  [report] seed-0 bench pool: rw_mae "
+                f"{mae_r if mae_r is None else round(mae_r, 4)} m, "
+                f"finite {fin_r:.3f}")
+            out["seed0_report_rw_mae_m"] = mae_r
+        except Exception as e:
+            log(f"seed-0 report failed: {type(e).__name__}: {e}")
+
     os.makedirs(os.path.dirname(CURVE_DOC), exist_ok=True)
     for path in (CURVE_DOC, os.path.join(args.out_dir, "native_mae_curve.json")):
         with open(path, "w") as f:
